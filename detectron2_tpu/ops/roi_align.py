@@ -1,0 +1,135 @@
+"""RoIAlign for TPU — XLA gather formulation (Pallas kernel variant lives in
+ops/pallas/roi_align.py once profiled in).
+
+Semantics follow the reference's ROIAlign with ``aligned=True`` ("ROIAlignV2",
+the half-pixel correction described at reference detectron2/layers/roi_align.py:18-35):
+
+- continuous coordinate c maps to pixel index c - 0.5;
+- each output bin averages ``sampling_ratio**2`` bilinear samples placed on a
+  regular sub-grid of the bin.
+
+One deliberate fixed-shape divergence: the reference's ``sampling_ratio=0``
+means an adaptive per-roi ``ceil(roi_size / output_size)`` sample count, which
+is data-dependent and cannot be compiled statically. Here ``sampling_ratio=0``
+selects a static 2x2 sub-grid — the standard TPU detection formulation; the
+numerical difference only appears for rois far from their FPN level's
+canonical scale.
+
+Layout: features are NHWC (channels-last → TPU lanes).
+"""
+
+import functools
+from typing import Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["roi_align"]
+
+
+def roi_align(
+    features: jnp.ndarray,
+    boxes: jnp.ndarray,
+    batch_indices: jnp.ndarray,
+    output_size: Union[int, Tuple[int, int]],
+    spatial_scale: float = 1.0,
+    sampling_ratio: int = 0,
+    aligned: bool = True,
+) -> jnp.ndarray:
+    """Region-of-interest align.
+
+    Args:
+        features: [B, H, W, C] feature map.
+        boxes: [R, 4] XYXY boxes in the *input image* coordinate frame
+            (they are multiplied by spatial_scale, like the reference op).
+        batch_indices: [R] int — which image each roi comes from.
+        output_size: (ph, pw) of the pooled output.
+        spatial_scale: scale to map box coords to feature coords (1/stride).
+        sampling_ratio: samples per bin side; 0 → static 2 (see module doc).
+        aligned: half-pixel correction (ROIAlignV2). aligned=False reproduces
+            the original Detectron1 grid.
+
+    Returns:
+        [R, ph, pw, C] pooled features.
+    """
+    if isinstance(output_size, int):
+        output_size = (output_size, output_size)
+    ph, pw = output_size
+    s = int(sampling_ratio) if sampling_ratio > 0 else 2
+
+    B, H, W, C = features.shape
+    R = boxes.shape[0]
+    dtype = features.dtype
+    boxes = boxes.astype(jnp.float32)
+
+    offset = 0.5 if aligned else 0.0
+    x0 = boxes[:, 0] * spatial_scale - offset
+    y0 = boxes[:, 1] * spatial_scale - offset
+    x1 = boxes[:, 2] * spatial_scale - offset
+    y1 = boxes[:, 3] * spatial_scale - offset
+
+    roi_w = x1 - x0
+    roi_h = y1 - y0
+    if not aligned:  # legacy mode clamps tiny rois to 1x1 (torchvision parity)
+        roi_w = jnp.maximum(roi_w, 1.0)
+        roi_h = jnp.maximum(roi_h, 1.0)
+
+    bin_h = roi_h / ph  # [R]
+    bin_w = roi_w / pw
+
+    # Sample grid: for bin (py, px), sample (iy, ix) at
+    #   y = y0 + (py + (iy + 0.5) / s) * bin_h
+    py = jnp.arange(ph, dtype=jnp.float32)
+    px = jnp.arange(pw, dtype=jnp.float32)
+    iy = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+    ix = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+
+    # [R, ph, s]
+    ys = y0[:, None, None] + (py[None, :, None] + iy[None, None, :]) * bin_h[:, None, None]
+    # [R, pw, s]
+    xs = x0[:, None, None] + (px[None, :, None] + ix[None, None, :]) * bin_w[:, None, None]
+
+    ys = ys.reshape(R, ph * s)  # all sample rows
+    xs = xs.reshape(R, pw * s)  # all sample cols
+
+    # Bilinear interpolation weights. Out-of-range samples contribute 0
+    # (matching the reference kernel which skips y < -1 or y > H).
+    def _prep(coords, size):
+        inside = (coords >= -1.0) & (coords <= size)
+        c = jnp.clip(coords, 0.0, size - 1.0)
+        lo = jnp.floor(c)
+        frac = c - lo
+        lo = lo.astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, size - 1)
+        return lo, hi, frac, inside
+
+    ylo, yhi, yfrac, yin = _prep(ys, H)  # [R, ph*s]
+    xlo, xhi, xfrac, xin = _prep(xs, W)  # [R, pw*s]
+
+    flat = features.reshape(B * H * W, C)
+    base = batch_indices.astype(jnp.int32) * (H * W)  # [R]
+
+    def gather(yi, xi):
+        # yi: [R, ph*s], xi: [R, pw*s] -> [R, ph*s, pw*s, C]
+        idx = base[:, None, None] + yi[:, :, None] * W + xi[:, None, :]
+        return jnp.take(flat, idx.reshape(-1), axis=0).reshape(R, ph * s, pw * s, C)
+
+    wy1 = yfrac[:, :, None, None]
+    wy0 = 1.0 - wy1
+    wx1 = xfrac[:, None, :, None]
+    wx0 = 1.0 - wx1
+
+    val = (
+        gather(ylo, xlo) * (wy0 * wx0)
+        + gather(ylo, xhi) * (wy0 * wx1)
+        + gather(yhi, xlo) * (wy1 * wx0)
+        + gather(yhi, xhi) * (wy1 * wx1)
+    )
+
+    inside = (yin[:, :, None] & xin[:, None, :])[..., None]
+    val = jnp.where(inside, val, 0.0)
+
+    # average the s x s samples of each bin
+    val = val.reshape(R, ph, s, pw, s, C)
+    out = val.mean(axis=(2, 4))
+    return out.astype(dtype)

@@ -1,0 +1,131 @@
+"""RoIAlign tests against a slow numpy reference, mirroring the semantics
+checks of reference tests/layers/test_roi_align.py (aligned=True half-pixel
+correction, gradients)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from detectron2_tpu.ops.roi_align import roi_align
+
+
+def slow_roi_align_single(feat, box, output_size, spatial_scale, sampling_ratio, aligned):
+    """Numpy reference: feat [H, W], box [4]."""
+    H, W = feat.shape
+    ph, pw = output_size
+    s = sampling_ratio if sampling_ratio > 0 else 2
+    offset = 0.5 if aligned else 0.0
+    x0 = box[0] * spatial_scale - offset
+    y0 = box[1] * spatial_scale - offset
+    x1 = box[2] * spatial_scale - offset
+    y1 = box[3] * spatial_scale - offset
+    roi_w = x1 - x0
+    roi_h = y1 - y0
+    if not aligned:
+        roi_w = max(roi_w, 1.0)
+        roi_h = max(roi_h, 1.0)
+    bin_h = roi_h / ph
+    bin_w = roi_w / pw
+
+    def bilinear(y, x):
+        if y < -1.0 or y > H or x < -1.0 or x > W:
+            return 0.0
+        y = min(max(y, 0.0), H - 1)
+        x = min(max(x, 0.0), W - 1)
+        y0i, x0i = int(np.floor(y)), int(np.floor(x))
+        y1i, x1i = min(y0i + 1, H - 1), min(x0i + 1, W - 1)
+        ly, lx = y - y0i, x - x0i
+        return (
+            feat[y0i, x0i] * (1 - ly) * (1 - lx)
+            + feat[y0i, x1i] * (1 - ly) * lx
+            + feat[y1i, x0i] * ly * (1 - lx)
+            + feat[y1i, x1i] * ly * lx
+        )
+
+    out = np.zeros((ph, pw))
+    for py in range(ph):
+        for px in range(pw):
+            acc = 0.0
+            for iy in range(s):
+                for ix in range(s):
+                    y = y0 + (py + (iy + 0.5) / s) * bin_h
+                    x = x0 + (px + (ix + 0.5) / s) * bin_w
+                    acc += bilinear(y, x)
+            out[py, px] = acc / (s * s)
+    return out
+
+
+@pytest.mark.parametrize("aligned", [True, False])
+@pytest.mark.parametrize("sampling_ratio", [2, 1])
+def test_roi_align_vs_numpy(aligned, sampling_ratio):
+    rng = np.random.RandomState(0)
+    feat = rng.rand(1, 12, 16, 1).astype(np.float32)
+    boxes = np.array([[1.0, 1.0, 9.0, 7.0], [0.0, 0.0, 16.0, 12.0], [2.5, 3.5, 6.5, 9.5]], np.float32)
+    out = roi_align(
+        jnp.asarray(feat),
+        jnp.asarray(boxes),
+        jnp.zeros(3, jnp.int32),
+        output_size=(5, 5),
+        spatial_scale=1.0,
+        sampling_ratio=sampling_ratio,
+        aligned=aligned,
+    )
+    for r in range(3):
+        expected = slow_roi_align_single(feat[0, :, :, 0], boxes[r], (5, 5), 1.0, sampling_ratio, aligned)
+        np.testing.assert_allclose(np.asarray(out[r, :, :, 0]), expected, rtol=1e-4, atol=1e-5)
+
+
+def test_roi_align_aligned_exact_value():
+    """The canonical half-pixel test: a 2x resolution grid with aligned=True
+    recovers exact feature values (reference test_roi_align.py semantics)."""
+    feat = np.arange(16, dtype=np.float32).reshape(1, 4, 4, 1)
+    # box covering exactly the full feature map in a 2x-scaled image space
+    boxes = np.array([[0.0, 0.0, 8.0, 8.0]], np.float32)
+    out = roi_align(
+        jnp.asarray(feat),
+        jnp.asarray(boxes),
+        jnp.zeros(1, jnp.int32),
+        output_size=(4, 4),
+        spatial_scale=0.5,
+        sampling_ratio=1,
+        aligned=True,
+    )
+    # with aligned=True, each output bin center lands exactly on the feature pixel center
+    np.testing.assert_allclose(np.asarray(out[0, :, :, 0]), feat[0, :, :, 0], atol=1e-5)
+
+
+def test_roi_align_batch_indices():
+    feat = np.stack([np.zeros((8, 8, 1), np.float32), np.ones((8, 8, 1), np.float32)])
+    boxes = np.array([[1, 1, 5, 5], [1, 1, 5, 5]], np.float32)
+    out = roi_align(
+        jnp.asarray(feat), jnp.asarray(boxes), jnp.asarray([0, 1], jnp.int32), output_size=2
+    )
+    assert float(out[0].sum()) == 0.0
+    np.testing.assert_allclose(np.asarray(out[1]), 1.0)
+
+
+def test_roi_align_grad():
+    """Gradients flow to both features and boxes."""
+    feat = jnp.asarray(np.random.RandomState(1).rand(1, 8, 8, 2).astype(np.float32))
+    boxes = jnp.asarray([[1.0, 1.0, 6.0, 6.0]])
+
+    def loss(f, b):
+        return roi_align(f, b, jnp.zeros(1, jnp.int32), 3).sum()
+
+    gf, gb = jax.grad(loss, argnums=(0, 1))(feat, boxes)
+    assert float(jnp.abs(gf).sum()) > 0
+    assert gf.shape == feat.shape
+    assert float(jnp.abs(gb).sum()) > 0
+
+
+def test_roi_align_jit_and_channels():
+    feat = jnp.asarray(np.random.RandomState(2).rand(2, 16, 16, 8).astype(np.float32))
+    boxes = jnp.asarray(np.random.RandomState(3).rand(10, 4).astype(np.float32) * 10)
+    boxes = jnp.concatenate([boxes[:, :2], boxes[:, :2] + boxes[:, 2:] + 1], axis=1)
+    bidx = jnp.asarray(np.random.RandomState(4).randint(0, 2, 10), jnp.int32)
+    f = jax.jit(lambda a, b, c: roi_align(a, b, c, 7, spatial_scale=0.25))
+    out = f(feat, boxes, bidx)
+    assert out.shape == (10, 7, 7, 8)
+    assert np.isfinite(np.asarray(out)).all()
