@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Benchmark: Mask R-CNN R50-FPN COCO-shaped inference throughput on one chip.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference's published Mask R-CNN R50-FPN inference speed is
+0.043 s/im on V100 (MODEL_ZOO.md row; BASELINE.md) ≈ 23.3 img/s; an
+A100-PyTorch chip is ~2x a V100 on this model ≈ 46.5 img/s. vs_baseline is
+measured img/s divided by that A100 estimate (north star: >= 2.0).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+A100_BASELINE_IMG_S = 46.5  # 2x the published V100 23.3 img/s (BASELINE.md)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from detectron2_tpu.config import get_cfg
+    from detectron2_tpu.modeling import build_model
+
+    cfg = get_cfg()
+    cfg.MODEL.META_ARCHITECTURE = "GeneralizedRCNN"
+    cfg.MODEL.BACKBONE.NAME = "build_resnet_fpn_backbone"
+    cfg.MODEL.RESNETS.DEPTH = 50
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.FPN.IN_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[32], [64], [128], [256], [512]]
+    cfg.MODEL.RPN.IN_FEATURES = ["p2", "p3", "p4", "p5", "p6"]
+    cfg.MODEL.ROI_HEADS.NAME = "StandardROIHeads"
+    cfg.MODEL.ROI_HEADS.IN_FEATURES = ["p2", "p3", "p4", "p5"]
+    cfg.MODEL.ROI_BOX_HEAD.NUM_FC = 2
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 7
+    cfg.MODEL.ROI_MASK_HEAD.NUM_CONV = 4
+    cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION = 14
+    cfg.MODEL.MASK_ON = True
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+
+    model = build_model(cfg)
+
+    # COCO inference shape: ResizeShortestEdge(800, 1333) padded to /32
+    B, H, W = 8, 800, 1344
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(rng.randint(0, 255, (B, H, W, 3)).astype(np.uint8)),
+        "image_sizes": jnp.tile(jnp.asarray([[H, W]], jnp.int32), (B, 1)),
+    }
+
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        {"image": batch["image"][:1], "image_sizes": batch["image_sizes"][:1]},
+        train=False,
+    )
+
+    fwd = jax.jit(lambda p, b: model.apply(p, b, train=False))
+
+    # warmup / compile
+    out = fwd(params, batch)
+    jax.block_until_ready(out)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(params, batch)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    img_s = B * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "maskrcnn_r50fpn_inference_img_per_s",
+                "value": round(img_s, 2),
+                "unit": "img/s",
+                "vs_baseline": round(img_s / A100_BASELINE_IMG_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+"""Convert detectron2 zoo checkpoints (.pkl state dicts of numpy arrays with
+torch names/layouts) into this framework's flax param pytrees.
+
+The analogue of reference detectron2/checkpoint/c2_model_loading.py:208
+(align_and_update_state_dicts): a deterministic name mapping from flax scopes
+to d2 module paths, plus the layout transposes (torch conv OIHW -> flax HWIO,
+torch linear [out,in] -> flax [in,out]).
+"""
+
+import logging
+from typing import Any, Dict, List, Tuple
+
+import numpy as np
+
+import jax
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["convert_d2_state_dict", "flax_path_to_d2_name"]
+
+# flax auto-names that are implementation details of a wrapper module and
+# should be merged into their parent scope
+_MERGE_SEGMENTS = ("Conv_", "ConvTranspose_", "Dense_", "BatchNorm_")
+# flax norm-module auto-names mapping to the d2 ".norm" child
+_NORM_SEGMENTS = ("FrozenBatchNorm2d_", "GroupNorm_", "LayerNorm_", "SyncBatchNorm_", "NaiveSyncBatchNorm_")
+
+_LEAF_RENAMES = {
+    "kernel": "weight",
+    "scale": "weight",  # flax GroupNorm/LayerNorm scale
+}
+
+_SEGMENT_RENAMES = {
+    "head": "rpn_head",  # our RPN field name vs d2's
+}
+
+
+def flax_path_to_d2_name(path: Tuple[str, ...]) -> str:
+    """Map a flax param path (tuple of scope names + leaf) to a d2 dotted name."""
+    segs: List[str] = []
+    for seg in path[:-1]:
+        if any(seg.startswith(m) for m in _MERGE_SEGMENTS):
+            continue  # merged into parent
+        if any(seg.startswith(m) for m in _NORM_SEGMENTS):
+            segs.append("norm")
+            continue
+        # res2_0 -> res2.0 style stage blocks
+        parts = seg.rsplit("_", 1)
+        if len(parts) == 2 and parts[1].isdigit() and parts[0].startswith("res"):
+            segs.extend([parts[0], parts[1]])
+            continue
+        segs.append(_SEGMENT_RENAMES.get(seg, seg))
+    leaf = _LEAF_RENAMES.get(path[-1], path[-1])
+    # DeformBottleneckBlock custom param
+    if leaf == "conv2_kernel":
+        segs.append("conv2")
+        leaf = "weight"
+    return ".".join(segs + [leaf])
+
+
+def _to_flax_layout(value: np.ndarray, target_shape) -> np.ndarray:
+    """Transpose a torch-layout array into the flax layout expected by
+    target_shape, verifying shapes."""
+    value = np.asarray(value)
+    if value.shape == tuple(target_shape):
+        return value
+    if value.ndim == 4:
+        # torch conv OIHW -> flax HWIO
+        cand = value.transpose(2, 3, 1, 0)
+        if cand.shape == tuple(target_shape):
+            return cand
+        # torch conv-transpose IOHW -> flax HWIO
+        cand = value.transpose(2, 3, 0, 1)
+        if cand.shape == tuple(target_shape):
+            return cand
+    if value.ndim == 2:
+        cand = value.T
+        if cand.shape == tuple(target_shape):
+            return cand
+    raise ValueError(f"Cannot map array of shape {value.shape} to {tuple(target_shape)}")
+
+
+def convert_d2_state_dict(state_dict: Dict[str, Any], params) -> Tuple[Any, str]:
+    """Convert a d2-style flat state dict into the given flax param pytree.
+
+    Args:
+        state_dict: torch-name -> numpy array (as found in d2 .pkl files).
+        params: the target flax variables pytree (provides paths/shapes).
+
+    Returns:
+        (new_params, report string). Unmatched target leaves keep their
+        current (initialized) values; mismatches are reported, mirroring the
+        reference's logging of incompatible shapes
+        (detection_checkpoint.py:128-142).
+    """
+    state_dict = {k: np.asarray(v) for k, v in state_dict.items()}
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+
+    used = set()
+    missing: List[str] = []
+    mismatched: List[str] = []
+    new_leaves = []
+    for path, leaf in flat:
+        keys = tuple(p.key if hasattr(p, "key") else str(p) for p in path)
+        # drop collection roots like 'params' / 'batch_stats'
+        if keys and keys[0] in ("params", "batch_stats", "frozen"):
+            name_keys = keys[1:]
+        else:
+            name_keys = keys
+        d2_name = flax_path_to_d2_name(name_keys)
+        if d2_name in state_dict:
+            try:
+                arr = _to_flax_layout(state_dict[d2_name], leaf.shape)
+                new_leaves.append(arr.astype(np.asarray(leaf).dtype))
+                used.add(d2_name)
+            except ValueError as e:
+                mismatched.append(f"{d2_name}: {e}")
+                new_leaves.append(leaf)
+        else:
+            missing.append(d2_name)
+            new_leaves.append(leaf)
+
+    unused = sorted(set(state_dict.keys()) - used)
+    # the reference ignores pixel_mean/std and anchor buffers
+    unused = [u for u in unused if "pixel_mean" not in u and "pixel_std" not in u and "anchors" not in u and "cell_anchors" not in u]
+
+    report_lines = [f"Loaded {len(used)}/{len(flat)} parameter tensors from d2 checkpoint."]
+    if missing:
+        report_lines.append(f"Randomly initialized (not found in checkpoint): {missing[:20]}{'...' if len(missing) > 20 else ''}")
+    if mismatched:
+        report_lines.append(f"Shape mismatches: {mismatched}")
+    if unused:
+        report_lines.append(f"Unused checkpoint keys: {unused[:20]}{'...' if len(unused) > 20 else ''}")
+
+    new_params = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    return new_params, "\n".join(report_lines)

@@ -1,0 +1,8 @@
+from detectron2_tpu.data.datasets.coco import (
+    convert_to_coco_json,
+    load_coco_json,
+    load_sem_seg,
+    register_coco_instances,
+)
+
+__all__ = [k for k in globals().keys() if not k.startswith("_")]

@@ -1,0 +1,8 @@
+from detectron2_tpu.data.samplers.distributed_sampler import (
+    InferenceSampler,
+    RandomSubsetTrainingSampler,
+    RepeatFactorTrainingSampler,
+    TrainingSampler,
+)
+
+__all__ = [k for k in globals().keys() if not k.startswith("_")]

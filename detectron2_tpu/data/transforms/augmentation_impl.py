@@ -1,0 +1,432 @@
+"""Concrete augmentation policies (reference detectron2/data/transforms/augmentation_impl.py)."""
+
+import sys
+from typing import List, Optional, Tuple, Union
+
+import numpy as np
+
+from detectron2_tpu.data.transforms.augmentation import Augmentation, _transform_to_aug
+from detectron2_tpu.data.transforms.transform import (
+    BlendTransform,
+    CropTransform,
+    ExtentTransform,
+    HFlipTransform,
+    NoOpTransform,
+    PadTransform,
+    ResizeTransform,
+    RotationTransform,
+    Transform,
+    TransformList,
+    VFlipTransform,
+)
+
+__all__ = [
+    "FixedSizeCrop",
+    "RandomApply",
+    "RandomBrightness",
+    "RandomContrast",
+    "RandomCrop",
+    "RandomExtent",
+    "RandomFlip",
+    "RandomSaturation",
+    "RandomLighting",
+    "RandomRotation",
+    "Resize",
+    "ResizeScale",
+    "ResizeShortestEdge",
+    "RandomCrop_CategoryAreaConstraint",
+    "MinIoURandomCrop",
+]
+
+
+class RandomApply(Augmentation):
+    """Apply a wrapped augmentation with a given probability."""
+
+    def __init__(self, tfm_or_aug, prob=0.5):
+        super().__init__()
+        self.aug = _transform_to_aug(tfm_or_aug)
+        assert 0.0 <= prob <= 1.0, f"Probablity must be between 0.0 and 1.0 (given: {prob})"
+        self.prob = prob
+
+    def get_transform(self, *args):
+        do = self._rand_range() < self.prob
+        if do:
+            return self.aug.get_transform(*args)
+        return NoOpTransform()
+
+    def __call__(self, aug_input):
+        do = self._rand_range() < self.prob
+        if do:
+            return self.aug(aug_input)
+        return NoOpTransform()
+
+
+class RandomFlip(Augmentation):
+    """Flip the image horizontally or vertically with probability prob
+    (reference augmentation_impl.py:82)."""
+
+    def __init__(self, prob=0.5, *, horizontal=True, vertical=False):
+        super().__init__()
+        if horizontal and vertical:
+            raise ValueError("Cannot do both horiz and vert. Please use two Flip instead.")
+        if not horizontal and not vertical:
+            raise ValueError("At least one of horiz or vert has to be True!")
+        self._init(locals())
+
+    def get_transform(self, image):
+        h, w = image.shape[:2]
+        do = self._rand_range() < self.prob
+        if do:
+            if self.horizontal:
+                return HFlipTransform(w)
+            elif self.vertical:
+                return VFlipTransform(h)
+        return NoOpTransform()
+
+
+class Resize(Augmentation):
+    """Resize to a fixed target size."""
+
+    def __init__(self, shape, interp="bilinear"):
+        if isinstance(shape, int):
+            shape = (shape, shape)
+        shape = tuple(shape)
+        self._init(locals())
+
+    def get_transform(self, image):
+        return ResizeTransform(image.shape[0], image.shape[1], self.shape[0], self.shape[1], self.interp)
+
+
+class ResizeShortestEdge(Augmentation):
+    """Resize so the shorter edge hits a target, capping the longer edge
+    (reference augmentation_impl.py:134) — the COCO standard policy."""
+
+    def __init__(
+        self, short_edge_length, max_size=sys.maxsize, sample_style="range", interp="bilinear"
+    ):
+        super().__init__()
+        assert sample_style in ["range", "choice"], sample_style
+        self.is_range = sample_style == "range"
+        if isinstance(short_edge_length, int):
+            short_edge_length = (short_edge_length, short_edge_length)
+        if self.is_range:
+            assert len(short_edge_length) == 2, (
+                "short_edge_length must be two values using 'range' sample style."
+                f" Got {short_edge_length}!"
+            )
+        self._init(locals())
+
+    def get_transform(self, image):
+        h, w = image.shape[:2]
+        if self.is_range:
+            size = np.random.randint(self.short_edge_length[0], self.short_edge_length[1] + 1)
+        else:
+            size = np.random.choice(self.short_edge_length)
+        if size == 0:
+            return NoOpTransform()
+
+        newh, neww = ResizeShortestEdge.get_output_shape(h, w, size, self.max_size)
+        return ResizeTransform(h, w, newh, neww, self.interp)
+
+    @staticmethod
+    def get_output_shape(oldh: int, oldw: int, short_edge_length: int, max_size: int) -> Tuple[int, int]:
+        """Output (h, w) given input size and target short edge."""
+        h, w = oldh, oldw
+        size = short_edge_length * 1.0
+        scale = size / min(h, w)
+        if h < w:
+            newh, neww = size, scale * w
+        else:
+            newh, neww = scale * h, size
+        if max(newh, neww) > max_size:
+            scale = max_size * 1.0 / max(newh, neww)
+            newh = newh * scale
+            neww = neww * scale
+        neww = int(neww + 0.5)
+        newh = int(newh + 0.5)
+        return (newh, neww)
+
+
+class ResizeScale(Augmentation):
+    """Large-scale jitter: random scale in [min, max] of a target size, then
+    resize preserving aspect ratio (reference augmentation_impl.py:203; the
+    LSJ recipe pairs this with FixedSizeCrop)."""
+
+    def __init__(self, min_scale: float, max_scale: float, target_height: int, target_width: int, interp="bilinear"):
+        super().__init__()
+        self._init(locals())
+
+    def _get_resize(self, image, scale):
+        input_size = image.shape[:2]
+        target_size = (self.target_height * scale, self.target_width * scale)
+        output_scale = np.minimum(target_size[0] / input_size[0], target_size[1] / input_size[1])
+        output_size = np.round(np.multiply(input_size, output_scale)).astype(int)
+        return ResizeTransform(input_size[0], input_size[1], int(output_size[0]), int(output_size[1]), self.interp)
+
+    def get_transform(self, image):
+        random_scale = np.random.uniform(self.min_scale, self.max_scale)
+        return self._get_resize(image, random_scale)
+
+
+class FixedSizeCrop(Augmentation):
+    """Crop (random position) and/or pad to a fixed square size
+    (reference augmentation_impl.py:307)."""
+
+    def __init__(self, crop_size: Tuple[int, int], pad: bool = True, pad_value: float = 128.0, seg_pad_value: int = 255):
+        super().__init__()
+        self._init(locals())
+
+    def _get_crop(self, image):
+        input_size = image.shape[:2]
+        output_size = self.crop_size
+        max_offset = np.subtract(input_size, output_size)
+        max_offset = np.maximum(max_offset, 0)
+        offset = np.multiply(max_offset, np.random.uniform(0.0, 1.0))
+        offset = np.round(offset).astype(int)
+        return CropTransform(
+            offset[1], offset[0],
+            min(output_size[1], input_size[1] - offset[1]),
+            min(output_size[0], input_size[0] - offset[0]),
+            input_size[1], input_size[0],
+        )
+
+    def _get_pad(self, image):
+        input_size = image.shape[:2]
+        output_size = self.crop_size
+        pad_size = np.subtract(output_size, input_size)
+        pad_size = np.maximum(pad_size, 0)
+        original_size = np.minimum(input_size, output_size)
+        return PadTransform(
+            0, 0, int(pad_size[1]), int(pad_size[0]), int(original_size[1]), int(original_size[0]), self.pad_value
+        )
+
+    def get_transform(self, image):
+        transforms = [self._get_crop(image)]
+        if self.pad:
+            transforms.append(self._get_pad(transforms[0].apply_image(image)))
+        return TransformList(transforms)
+
+
+class RandomCrop(Augmentation):
+    """Random crop with relative / relative_range / absolute / absolute_range
+    semantics (reference augmentation_impl.py:373)."""
+
+    def __init__(self, crop_type: str, crop_size):
+        super().__init__()
+        assert crop_type in ["relative_range", "relative", "absolute", "absolute_range"]
+        self._init(locals())
+
+    def get_transform(self, image):
+        h, w = image.shape[:2]
+        croph, cropw = self.get_crop_size((h, w))
+        assert h >= croph and w >= cropw, f"Shape computation in {self} has bugs."
+        h0 = np.random.randint(h - croph + 1)
+        w0 = np.random.randint(w - cropw + 1)
+        return CropTransform(w0, h0, cropw, croph)
+
+    def get_crop_size(self, image_size):
+        h, w = image_size
+        if self.crop_type == "relative":
+            ch, cw = self.crop_size
+            return int(h * ch + 0.5), int(w * cw + 0.5)
+        elif self.crop_type == "relative_range":
+            crop_size = np.asarray(self.crop_size, dtype=np.float32)
+            ch, cw = crop_size + np.random.rand(2) * (1 - crop_size)
+            return int(h * ch + 0.5), int(w * cw + 0.5)
+        elif self.crop_type == "absolute":
+            return (min(self.crop_size[0], h), min(self.crop_size[1], w))
+        elif self.crop_type == "absolute_range":
+            assert self.crop_size[0] <= self.crop_size[1]
+            ch = np.random.randint(min(h, self.crop_size[0]), min(h, self.crop_size[1]) + 1)
+            cw = np.random.randint(min(w, self.crop_size[0]), min(w, self.crop_size[1]) + 1)
+            return ch, cw
+        else:
+            raise NotImplementedError(f"Unknown crop type {self.crop_type}")
+
+
+class RandomCrop_CategoryAreaConstraint(Augmentation):
+    """RandomCrop retried so no single category exceeds an area fraction of
+    the crop (semantic segmentation; reference augmentation_impl.py:436)."""
+
+    def __init__(self, crop_type: str, crop_size, single_category_max_area: float = 1.0, ignored_category: Optional[int] = None):
+        super().__init__()
+        self.crop_aug = RandomCrop(crop_type, crop_size)
+        self._init(locals())
+
+    def get_transform(self, image, sem_seg):
+        if self.single_category_max_area >= 1.0:
+            return self.crop_aug.get_transform(image)
+        h, w = sem_seg.shape
+        for _ in range(10):
+            crop_size = self.crop_aug.get_crop_size((h, w))
+            y0 = np.random.randint(h - crop_size[0] + 1)
+            x0 = np.random.randint(w - crop_size[1] + 1)
+            sem_seg_temp = sem_seg[y0 : y0 + crop_size[0], x0 : x0 + crop_size[1]]
+            labels, cnt = np.unique(sem_seg_temp, return_counts=True)
+            if self.ignored_category is not None:
+                cnt = cnt[labels != self.ignored_category]
+            if len(cnt) > 1 and np.max(cnt) < np.sum(cnt) * self.single_category_max_area:
+                break
+        return CropTransform(x0, y0, crop_size[1], crop_size[0])
+
+
+class RandomExtent(Augmentation):
+    """Random sub-rect (possibly out of bounds) resampled to its own size
+    (reference augmentation_impl.py:486)."""
+
+    def __init__(self, scale_range, shift_range):
+        super().__init__()
+        self._init(locals())
+
+    def get_transform(self, image):
+        img_h, img_w = image.shape[:2]
+        src_rect = np.array([-0.5 * img_w, -0.5 * img_h, 0.5 * img_w, 0.5 * img_h])
+        src_rect *= np.random.uniform(self.scale_range[0], self.scale_range[1])
+        src_rect[0::2] += self.shift_range[0] * img_w * (np.random.rand() - 0.5)
+        src_rect[1::2] += self.shift_range[1] * img_h * (np.random.rand() - 0.5)
+        src_rect[0::2] += 0.5 * img_w
+        src_rect[1::2] += 0.5 * img_h
+        return ExtentTransform(
+            src_rect=(src_rect[0], src_rect[1], src_rect[2], src_rect[3]),
+            output_size=(int(src_rect[3] - src_rect[1]), int(src_rect[2] - src_rect[0])),
+        )
+
+
+class RandomContrast(Augmentation):
+    """Contrast jitter: blend with the mean intensity."""
+
+    def __init__(self, intensity_min, intensity_max):
+        super().__init__()
+        self._init(locals())
+
+    def get_transform(self, image):
+        w = np.random.uniform(self.intensity_min, self.intensity_max)
+        return BlendTransform(src_image=image.mean(), src_weight=1 - w, dst_weight=w)
+
+
+class RandomBrightness(Augmentation):
+    """Brightness jitter: blend with black."""
+
+    def __init__(self, intensity_min, intensity_max):
+        super().__init__()
+        self._init(locals())
+
+    def get_transform(self, image):
+        w = np.random.uniform(self.intensity_min, self.intensity_max)
+        return BlendTransform(src_image=0, src_weight=1 - w, dst_weight=w)
+
+
+class RandomSaturation(Augmentation):
+    """Saturation jitter: blend with the grayscale image (expects RGB)."""
+
+    def __init__(self, intensity_min, intensity_max):
+        super().__init__()
+        self._init(locals())
+
+    def get_transform(self, image):
+        assert image.shape[-1] == 3, "RandomSaturation only works on RGB images"
+        w = np.random.uniform(self.intensity_min, self.intensity_max)
+        grayscale = image.dot([0.299, 0.587, 0.114])[:, :, np.newaxis]
+        return BlendTransform(src_image=grayscale, src_weight=1 - w, dst_weight=w)
+
+
+class RandomLighting(Augmentation):
+    """AlexNet-style PCA lighting jitter (expects RGB)."""
+
+    def __init__(self, scale):
+        super().__init__()
+        self._init(locals())
+        self.eigen_vecs = np.array(
+            [[-0.5675, 0.7192, 0.4009], [-0.5808, -0.0045, -0.814], [-0.5836, -0.6948, 0.4203]]
+        )
+        self.eigen_vals = np.array([0.2175, 0.0188, 0.0045])
+
+    def get_transform(self, image):
+        assert image.shape[-1] == 3, "RandomLighting only works on RGB images"
+        weights = np.random.normal(scale=self.scale, size=3)
+        return BlendTransform(
+            src_image=self.eigen_vecs.dot(weights * self.eigen_vals), src_weight=1.0, dst_weight=1.0
+        )
+
+
+class RandomRotation(Augmentation):
+    """Random rotation around the center (reference augmentation_impl.py:253)."""
+
+    def __init__(self, angle, expand=True, center=None, sample_style="range", interp="bilinear"):
+        super().__init__()
+        assert sample_style in ["range", "choice"], sample_style
+        self.is_range = sample_style == "range"
+        if isinstance(angle, (float, int)):
+            angle = (angle, angle)
+        if center is not None and isinstance(center[0], (float, int)):
+            center = (center, center)
+        self._init(locals())
+
+    def get_transform(self, image):
+        h, w = image.shape[:2]
+        center = None
+        if self.is_range:
+            angle = np.random.uniform(self.angle[0], self.angle[1])
+            if self.center is not None:
+                center = (
+                    np.random.uniform(self.center[0][0], self.center[1][0]),
+                    np.random.uniform(self.center[0][1], self.center[1][1]),
+                )
+        else:
+            angle = np.random.choice(self.angle)
+            if self.center is not None:
+                center = np.random.choice(self.center)
+
+        if center is not None:
+            center = (w * center[0], h * center[1])
+
+        if angle % 360 == 0:
+            return NoOpTransform()
+        return RotationTransform(h, w, angle, expand=self.expand, center=center, interp=self.interp)
+
+
+class MinIoURandomCrop(Augmentation):
+    """Crop keeping at least one box with IoU above a sampled constraint
+    (SSD-style; reference augmentation_impl.py:654)."""
+
+    def __init__(self, min_ious=(0.1, 0.3, 0.5, 0.7, 0.9), min_crop_size=0.3):
+        super().__init__()
+        self._init(locals())
+
+    def get_transform(self, image, boxes):
+        if boxes is None or len(boxes) == 0:
+            return NoOpTransform()
+        h, w = image.shape[:2]
+        while True:
+            mode = np.random.choice((1, *self.min_ious))
+            if mode == 1:
+                return NoOpTransform()
+            min_iou = mode
+            for _ in range(50):
+                new_w = np.random.uniform(self.min_crop_size * w, w)
+                new_h = np.random.uniform(self.min_crop_size * h, h)
+                if new_h / new_w < 0.5 or new_h / new_w > 2:
+                    continue
+                left = np.random.uniform(w - new_w)
+                top = np.random.uniform(h - new_h)
+                patch = np.array([int(left), int(top), int(left + new_w), int(top + new_h)])
+
+                def _ioa(boxes, patch):
+                    lt = np.maximum(boxes[:, :2], patch[:2])
+                    rb = np.minimum(boxes[:, 2:], patch[2:])
+                    inter = np.prod(np.clip(rb - lt, 0, None), axis=1)
+                    area = np.prod(boxes[:, 2:] - boxes[:, :2], axis=1)
+                    parea = (patch[2] - patch[0]) * (patch[3] - patch[1])
+                    return inter / np.maximum(area + parea - inter, 1e-12)
+
+                overlaps = _ioa(np.asarray(boxes, np.float64), patch)
+                if len(overlaps) > 0 and overlaps.min() < min_iou:
+                    continue
+                centers = (np.asarray(boxes)[:, :2] + np.asarray(boxes)[:, 2:]) / 2
+                mask = (
+                    (centers[:, 0] > patch[0]) & (centers[:, 1] > patch[1])
+                    & (centers[:, 0] < patch[2]) & (centers[:, 1] < patch[3])
+                )
+                if not mask.any():
+                    continue
+                return CropTransform(patch[0], patch[1], patch[2] - patch[0], patch[3] - patch[1])

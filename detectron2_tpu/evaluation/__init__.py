@@ -1,0 +1,9 @@
+from detectron2_tpu.evaluation.coco_evaluation import COCOEvaluator, instances_to_coco_json
+from detectron2_tpu.evaluation.evaluator import (
+    DatasetEvaluator,
+    DatasetEvaluators,
+    inference_on_dataset,
+)
+from detectron2_tpu.evaluation.testing import flatten_results_dict, print_csv_format, verify_results
+
+__all__ = [k for k in globals().keys() if not k.startswith("_")]

@@ -13,4 +13,7 @@ def build_proposal_generator(cfg, input_shape):
     name = cfg.MODEL.PROPOSAL_GENERATOR.NAME
     if name == "PrecomputedProposals":
         return None
-    return PROPOSAL_GENERATOR_REGISTRY.get(name)(cfg, input_shape)
+    cls = PROPOSAL_GENERATOR_REGISTRY.get(name)
+    if hasattr(cls, "from_config"):
+        return cls.from_config(cfg, input_shape)
+    return cls(cfg, input_shape)

@@ -24,7 +24,7 @@ from typing import Tuple, Union
 import jax
 import jax.numpy as jnp
 
-__all__ = ["roi_align"]
+__all__ = ["roi_align", "roi_align_multilevel"]
 
 
 def roi_align(
@@ -133,3 +133,127 @@ def roi_align(
     val = val.reshape(R, ph, s, pw, s, C)
     out = val.mean(axis=(2, 4))
     return out.astype(dtype)
+
+
+def roi_align_multilevel(
+    features: dict,
+    boxes: jnp.ndarray,
+    batch_indices: jnp.ndarray,
+    level_assignments: jnp.ndarray,
+    level_order: Tuple[str, ...],
+    scales: Tuple[float, ...],
+    output_size: Union[int, Tuple[int, int]],
+    sampling_ratio: int = 0,
+    aligned: bool = True,
+) -> jnp.ndarray:
+    """Multi-level RoIAlign with a SINGLE gather pass.
+
+    TPU-native replacement for the reference ROIPooler's per-level scatter
+    loop (detectron2/modeling/poolers.py:245-263): all levels' feature maps
+    are flattened into one [sum(B*Hl*Wl), C] buffer; each roi's gather indices
+    are offset by its assigned level's base, and its coordinates are scaled by
+    that level's spatial scale. One pass, fixed shapes, no per-level masking
+    overhead.
+
+    Args:
+        features: dict level-name -> [B, Hl, Wl, C].
+        boxes: [R, 4] in image coords.
+        batch_indices: [R] int.
+        level_assignments: [R] int in [0, L).
+        level_order: names of levels in assignment order.
+        scales: per-level 1/stride.
+        output_size, sampling_ratio, aligned: as in roi_align.
+
+    Returns:
+        [R, ph, pw, C]
+    """
+    if isinstance(output_size, int):
+        output_size = (output_size, output_size)
+    ph, pw = output_size
+    s = int(sampling_ratio) if sampling_ratio > 0 else 2
+
+    feats = [features[n] for n in level_order]
+    B = feats[0].shape[0]
+    C = feats[0].shape[-1]
+    dtype = feats[0].dtype
+    R = boxes.shape[0]
+
+    # flatten all levels into one buffer; record per-level base offsets
+    flat_parts = []
+    level_bases = []
+    base = 0
+    hs, ws = [], []
+    for f in feats:
+        _, H, W, _ = f.shape
+        flat_parts.append(f.reshape(B * H * W, C))
+        level_bases.append(base)
+        hs.append(H)
+        ws.append(W)
+        base += B * H * W
+    flat = jnp.concatenate(flat_parts, axis=0)
+
+    lvl = level_assignments.astype(jnp.int32)
+    level_bases = jnp.asarray(level_bases, jnp.int32)
+    hs_a = jnp.asarray(hs, jnp.int32)
+    ws_a = jnp.asarray(ws, jnp.int32)
+    scales_a = jnp.asarray(scales, jnp.float32)
+
+    roi_scale = scales_a[lvl]  # [R]
+    roi_H = hs_a[lvl]
+    roi_W = ws_a[lvl]
+    roi_base = level_bases[lvl] + batch_indices.astype(jnp.int32) * roi_H * roi_W
+
+    boxes = boxes.astype(jnp.float32)
+    offset = 0.5 if aligned else 0.0
+    x0 = boxes[:, 0] * roi_scale - offset
+    y0 = boxes[:, 1] * roi_scale - offset
+    x1 = boxes[:, 2] * roi_scale - offset
+    y1 = boxes[:, 3] * roi_scale - offset
+    roi_w = x1 - x0
+    roi_h = y1 - y0
+    if not aligned:
+        roi_w = jnp.maximum(roi_w, 1.0)
+        roi_h = jnp.maximum(roi_h, 1.0)
+    bin_h = roi_h / ph
+    bin_w = roi_w / pw
+
+    py = jnp.arange(ph, dtype=jnp.float32)
+    px = jnp.arange(pw, dtype=jnp.float32)
+    iy = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+    ix = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+
+    ys = (y0[:, None, None] + (py[None, :, None] + iy[None, None, :]) * bin_h[:, None, None]).reshape(R, ph * s)
+    xs = (x0[:, None, None] + (px[None, :, None] + ix[None, None, :]) * bin_w[:, None, None]).reshape(R, pw * s)
+
+    def _prep(coords, size):
+        sizef = size.astype(jnp.float32)[:, None]
+        inside = (coords >= -1.0) & (coords <= sizef)
+        c = jnp.clip(coords, 0.0, sizef - 1.0)
+        lo = jnp.floor(c)
+        frac = c - lo
+        lo = lo.astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, size[:, None] - 1)
+        return lo, hi, frac, inside
+
+    ylo, yhi, yfrac, yin = _prep(ys, roi_H)
+    xlo, xhi, xfrac, xin = _prep(xs, roi_W)
+
+    def gather(yi, xi):
+        idx = roi_base[:, None, None] + yi[:, :, None] * roi_W[:, None, None] + xi[:, None, :]
+        return jnp.take(flat, idx.reshape(-1), axis=0).reshape(R, ph * s, pw * s, C)
+
+    wy1 = yfrac[:, :, None, None]
+    wy0 = 1.0 - wy1
+    wx1 = xfrac[:, None, :, None]
+    wx0 = 1.0 - wx1
+
+    val = (
+        gather(ylo, xlo) * (wy0 * wx0)
+        + gather(ylo, xhi) * (wy0 * wx1)
+        + gather(yhi, xlo) * (wy1 * wx0)
+        + gather(yhi, xhi) * (wy1 * wx1)
+    )
+    inside = (yin[:, :, None] & xin[:, None, :])[..., None]
+    val = jnp.where(inside, val, 0.0)
+    val = val.reshape(R, ph, s, pw, s, C)
+    return val.mean(axis=(2, 4)).astype(dtype)

@@ -1,0 +1,10 @@
+from detectron2_tpu.parallel.mesh import (
+    batch_sharding,
+    create_mesh,
+    replicate,
+    replicated_sharding,
+    shard_batch,
+)
+from detectron2_tpu.parallel.train_state import TrainState, make_eval_step, make_train_step
+
+__all__ = [k for k in globals().keys() if not k.startswith("_")]

@@ -1,0 +1,87 @@
+"""TrainState + SPMD step builders.
+
+The compiled training step is the framework's unit of execution
+(SURVEY.md §7.1: "training step = one pjit'd function"): normalize → backbone
+→ RPN (labeling, sampling, proposal NMS) → heads → losses → grads → optax
+update, compiled once over the mesh. Gradient reduction across the "data" axis
+is inserted by XLA from the shardings — no explicit collectives.
+"""
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["TrainState", "make_train_step", "make_eval_step"]
+
+
+class TrainState(struct.PyTreeNode):
+    """Parameters + optimizer state + step counter (a minimal, orbax-friendly
+    train state)."""
+
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, params, tx: optax.GradientTransformation) -> "TrainState":
+        return cls(step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params), tx=tx)
+
+    def apply_gradients(self, grads) -> "TrainState":
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(step=self.step + 1, params=new_params, opt_state=new_opt_state)
+
+
+def make_train_step(
+    model,
+    mesh: Optional[Mesh] = None,
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted SPMD train step.
+
+    Returns step(state, batch, rng) -> (state, loss_dict). When a mesh is
+    given, params/opt state are replicated and the batch is sharded over
+    "data"; XLA inserts the gradient all-reduce.
+    """
+
+    def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng) -> Tuple[TrainState, Dict]:
+        def loss_fn(params):
+            losses = model.apply(params, batch, train=True, rngs={"sampling": rng, "dropout": rng})
+            total = sum(jax.tree_util.tree_leaves(losses))
+            return total, losses
+
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads)
+        losses = dict(losses)
+        losses["total_loss"] = total
+        return new_state, losses
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_step(model, mesh: Optional[Mesh] = None) -> Callable:
+    """Build the jitted inference step: (params, batch) -> padded detections."""
+
+    def eval_fn(params, batch):
+        return model.apply(params, batch, train=False)
+
+    if mesh is None:
+        return jax.jit(eval_fn)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(eval_fn, in_shardings=(repl, data), out_shardings=data)

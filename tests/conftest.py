@@ -6,7 +6,8 @@ imported before any test module imports jax.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu (the surrounding environment may export JAX_PLATFORMS=axon/tpu)
+os.environ["JAX_PLATFORMS"] = "cpu"
 prev = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in prev:
     os.environ["XLA_FLAGS"] = (prev + " --xla_force_host_platform_device_count=8").strip()
