@@ -6,8 +6,11 @@ imported before any test module imports jax.
 
 import os
 
-# FORCE cpu (the surrounding environment may export JAX_PLATFORMS=axon/tpu)
+# FORCE cpu (the surrounding environment may export JAX_PLATFORMS=axon/tpu;
+# the axon plugin ignores JAX_PLATFORMS, so the legacy JAX_PLATFORM_NAME is
+# the override that actually works)
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 prev = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in prev:
     os.environ["XLA_FLAGS"] = (prev + " --xla_force_host_platform_device_count=8").strip()
