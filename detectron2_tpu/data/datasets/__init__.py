@@ -1,3 +1,5 @@
+from detectron2_tpu.data.datasets import builtin as _builtin  # registers builtin datasets
+from detectron2_tpu.data.datasets.builtin_meta import _get_builtin_metadata
 from detectron2_tpu.data.datasets.coco import (
     convert_to_coco_json,
     load_coco_json,

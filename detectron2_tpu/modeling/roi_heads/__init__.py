@@ -21,6 +21,7 @@ from detectron2_tpu.modeling.roi_heads.mask_head import (
     mask_rcnn_inference,
     mask_rcnn_loss,
 )
+from detectron2_tpu.modeling.roi_heads.cascade_rcnn import CascadeROIHeads
 from detectron2_tpu.modeling.roi_heads.roi_heads import (
     ROI_HEADS_REGISTRY,
     Res5ROIHeads,
