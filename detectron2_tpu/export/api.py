@@ -1,0 +1,68 @@
+"""Export implementations (replaces reference detectron2/export/:
+flatten.py TracingAdapter, torchscript.py, caffe2 path)."""
+
+import logging
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["TracingAdapter", "aot_compile", "export_stablehlo"]
+
+
+class TracingAdapter:
+    """Flatten dict-structured model I/O into a tensor tuple signature
+    (reference export/flatten.py:186). jax pytrees make this mechanical:
+    the schema is the treedef."""
+
+    def __init__(self, model_apply: Callable, inputs: Dict[str, Any]):
+        """
+        Args:
+            model_apply: (batch_dict) -> output pytree.
+            inputs: an example batch dict.
+        """
+        self.model = model_apply
+        flat, self.inputs_schema = jax.tree_util.tree_flatten(inputs)
+        self.flattened_inputs = tuple(flat)
+        self.outputs_schema = None
+
+    def __call__(self, *args):
+        batch = jax.tree_util.tree_unflatten(self.inputs_schema, list(args))
+        out = self.model(batch)
+        flat_out, schema = jax.tree_util.tree_flatten(out)
+        if self.outputs_schema is None:
+            self.outputs_schema = schema
+        return tuple(flat_out)
+
+
+def export_stablehlo(model_apply: Callable, example_batch: Dict[str, Any], path: Optional[str] = None):
+    """Serialize the jitted model to StableHLO bytes via jax.export — a
+    framework-independent deployable artifact (the reference's ONNX-export
+    analogue, export/torchscript.py)."""
+    from jax import export as jax_export
+
+    fn = jax.jit(model_apply)
+    shapes = jax.tree_util.tree_map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), example_batch)
+    exported = jax_export.export(fn)(shapes)
+    blob = exported.serialize()
+    if path is not None:
+        with open(path, "wb") as f:
+            f.write(blob)
+        logger.info("Serialized StableHLO export (%d bytes) to %s", len(blob), path)
+    return blob
+
+
+def aot_compile(model_apply: Callable, example_batch: Dict[str, Any]):
+    """Ahead-of-time compile for the example batch's shapes; returns the
+    compiled executable (callable). Eliminates first-call compilation in
+    serving processes; pairs with jax's persistent compilation cache."""
+    fn = jax.jit(model_apply)
+    shapes = jax.tree_util.tree_map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), example_batch)
+    lowered = fn.lower(shapes)
+    compiled = lowered.compile()
+    logger.info(
+        "AOT compiled: %s FLOPs estimated", compiled.cost_analysis().get("flops", "n/a") if compiled.cost_analysis() else "n/a"
+    )
+    return compiled
