@@ -267,26 +267,43 @@ class COCOevalNP:
         gtIg = np.array([g["_ignore"] for g in gt])
         dtIg = np.zeros((T, D))
         if len(ious) > 0:
-            for tind, t in enumerate(p.iouThrs):
-                for dind, d in enumerate(dt):
-                    iou = min([t, 1 - 1e-10])
-                    m = -1
-                    for gind, g in enumerate(gt):
-                        # gt already matched (and not crowd) -> skip
-                        if gtm[tind, gind] > 0 and not iscrowd[gind]:
+            from detectron2_tpu.evaluation._native import native_evaluate_img
+
+            native = native_evaluate_img(
+                np.asarray(p.iouThrs, np.float64),
+                np.asarray(ious, np.float64),
+                gtIg.astype(np.uint8),
+                np.asarray(iscrowd, np.uint8),
+            )
+            if native is not None:
+                # map matched indices (+1) back to annotation ids
+                ndtm, ngtm, ndtig = native
+                gt_ids = np.asarray([0] + [g["id"] for g in gt])
+                dt_ids = np.asarray([0] + [d["id"] for d in dt])
+                dtm = gt_ids[ndtm]
+                gtm = dt_ids[ngtm]
+                dtIg = ndtig.astype(float)
+            else:
+                for tind, t in enumerate(p.iouThrs):
+                    for dind, d in enumerate(dt):
+                        iou = min([t, 1 - 1e-10])
+                        m = -1
+                        for gind, g in enumerate(gt):
+                            # gt already matched (and not crowd) -> skip
+                            if gtm[tind, gind] > 0 and not iscrowd[gind]:
+                                continue
+                            # dt matched an unignored gt; later gts are all ignored -> stop
+                            if m > -1 and gtIg[m] == 0 and gtIg[gind] == 1:
+                                break
+                            if ious[dind, gind] < iou:
+                                continue
+                            iou = ious[dind, gind]
+                            m = gind
+                        if m == -1:
                             continue
-                        # dt matched an unignored gt; later gts are all ignored -> stop
-                        if m > -1 and gtIg[m] == 0 and gtIg[gind] == 1:
-                            break
-                        if ious[dind, gind] < iou:
-                            continue
-                        iou = ious[dind, gind]
-                        m = gind
-                    if m == -1:
-                        continue
-                    dtIg[tind, dind] = gtIg[m]
-                    dtm[tind, dind] = gt[m]["id"]
-                    gtm[tind, m] = d["id"]
+                        dtIg[tind, dind] = gtIg[m]
+                        dtm[tind, dind] = gt[m]["id"]
+                        gtm[tind, m] = d["id"]
         # detections outside the area range are ignored unless matched
         a = np.array(
             [d.get("area", d["bbox"][2] * d["bbox"][3]) < aRng[0] or d.get("area", d["bbox"][2] * d["bbox"][3]) > aRng[1] for d in dt]

@@ -163,9 +163,20 @@ def rle_iou(dt: List[Dict[str, Any]], gt: List[Dict[str, Any]], iscrowd: List[in
     """Pairwise IoU between detection and gt RLE masks (maskApi rleIou).
 
     For crowd gt, the denominator is the detection area (IoA), matching COCO.
+    Uses the native RLE-space kernel (csrc/cocoeval.cpp) when available —
+    no mask decompression; numpy fallback otherwise.
     """
     if len(dt) == 0 or len(gt) == 0:
         return np.zeros((len(dt), len(gt)))
+
+    from detectron2_tpu.evaluation._native import native_rle_iou
+
+    dt_counts = [np.asarray(_rle_counts(d), np.uint32) for d in dt]
+    gt_counts = [np.asarray(_rle_counts(g), np.uint32) for g in gt]
+    native = native_rle_iou(dt_counts, gt_counts, list(iscrowd))
+    if native is not None:
+        return native
+
     d_masks = [rle_to_mask(d) for d in dt]
     g_masks = [rle_to_mask(g) for g in gt]
     ious = np.zeros((len(dt), len(gt)))

@@ -7,6 +7,8 @@ from detectron2_tpu.modeling.backbone.fpn import (
     build_resnet_fpn_backbone,
     build_retinanet_resnet_fpn_backbone,
 )
+from detectron2_tpu.modeling.backbone.mvit import MViT
+from detectron2_tpu.modeling.backbone.regnet import RegNet
 from detectron2_tpu.modeling.backbone.resnet import (
     BasicBlock,
     BasicStem,
@@ -14,6 +16,12 @@ from detectron2_tpu.modeling.backbone.resnet import (
     DeformBottleneckBlock,
     ResNet,
     build_resnet_backbone,
+)
+from detectron2_tpu.modeling.backbone.swin import SwinTransformer
+from detectron2_tpu.modeling.backbone.vit import (
+    SimpleFeaturePyramid,
+    ViT,
+    get_vit_lr_decay_rate,
 )
 
 __all__ = [k for k in globals().keys() if not k.startswith("_")]

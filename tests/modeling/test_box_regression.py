@@ -25,7 +25,8 @@ def test_invertibility():
     dst = jnp.asarray(random_boxes(20, seed=2))
     deltas = t.get_deltas(src, dst)
     back = t.apply_deltas(deltas, src)
-    np.testing.assert_allclose(np.asarray(back), np.asarray(dst), atol=1e-3)
+    # fp32 log/exp roundtrip: ~1e-4 relative on ~100px coordinates
+    np.testing.assert_allclose(np.asarray(back), np.asarray(dst), rtol=1e-3, atol=2e-2)
 
 
 def test_apply_deltas_multiclass():
