@@ -60,15 +60,20 @@ def main():
 
     fwd = jax.jit(lambda p, b: model.apply(p, b, train=False))
 
+    def sync(o):
+        # force a real device->host readback (block_until_ready alone can be
+        # a no-op through remote-execution tunnels)
+        return float(np.asarray(o["scores"]).sum())
+
     # warmup / compile
     out = fwd(params, batch)
-    jax.block_until_ready(out)
+    sync(out)
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fwd(params, batch)
-    jax.block_until_ready(out)
+    sync(out)
     dt = time.perf_counter() - t0
 
     img_s = B * iters / dt

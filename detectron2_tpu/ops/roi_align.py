@@ -109,29 +109,71 @@ def roi_align(
     flat = features.reshape(B * H * W, C)
     base = batch_indices.astype(jnp.int32) * (H * W)  # [R]
 
-    def gather(yi, xi):
-        # yi: [R, ph*s], xi: [R, pw*s] -> [R, ph*s, pw*s, C]
-        idx = base[:, None, None] + yi[:, :, None] * W + xi[:, None, :]
-        return jnp.take(flat, idx.reshape(-1), axis=0).reshape(R, ph * s, pw * s, C)
-
-    wy1 = yfrac[:, :, None, None]
-    wy0 = 1.0 - wy1
-    wx1 = xfrac[:, None, :, None]
-    wx0 = 1.0 - wx1
-
-    val = (
-        gather(ylo, xlo) * (wy0 * wx0)
-        + gather(ylo, xhi) * (wy0 * wx1)
-        + gather(yhi, xlo) * (wy1 * wx0)
-        + gather(yhi, xhi) * (wy1 * wx1)
+    # Chunk rois to bound the [chunk, ph*s, pw*s, C] transient in HBM
+    # (8000 rois x 14x14 x 256ch in one shot is tens of GB).
+    out = _chunked_bilinear_pool(
+        flat, base, ylo, yhi, yfrac, yin, xlo, xhi, xfrac, xin, W, ph, pw, s, C, dtype
     )
+    return out
 
-    inside = (yin[:, :, None] & xin[:, None, :])[..., None]
-    val = jnp.where(inside, val, 0.0)
 
-    # average the s x s samples of each bin
-    val = val.reshape(R, ph, s, pw, s, C)
-    out = val.mean(axis=(2, 4))
+def _chunked_bilinear_pool(
+    flat, base, ylo, yhi, yfrac, yin, xlo, xhi, xfrac, xin, W, ph, pw, s, C, dtype, chunk=512
+):
+    """Shared gather+interpolate+bin-mean core, processed ``chunk`` rois at a
+    time via lax.map. Interpolation runs in the feature dtype (bf16 on TPU)."""
+    from jax import lax
+
+    R = base.shape[0]
+    # W may be a scalar (single-level) or per-roi array (multi-level)
+    W_per_roi = jnp.broadcast_to(jnp.asarray(W, jnp.int32), (R,))
+    n = min(chunk, R)
+    pad = (-R) % n
+    if pad:
+        padded = lambda a, fill=0: jnp.concatenate(
+            [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)], axis=0
+        )
+        base = padded(base)
+        ylo, yhi, xlo, xhi = padded(ylo), padded(yhi), padded(xlo), padded(xhi)
+        yfrac, xfrac = padded(yfrac), padded(xfrac)
+        yin, xin = padded(yin, False), padded(xin, False)
+        W_per_roi = padded(W_per_roi, 1)
+    n_chunks = base.shape[0] // n
+
+    def reshape_c(a):
+        return a.reshape((n_chunks, n) + a.shape[1:])
+
+    def pool_chunk(args):
+        cbase, cylo, cyhi, cyf, cyin, cxlo, cxhi, cxf, cxin, cW = args
+
+        def gather(yi, xi):
+            idx = cbase[:, None, None] + yi[:, :, None] * cW[:, None, None] + xi[:, None, :]
+            return jnp.take(flat, idx.reshape(-1), axis=0).reshape(n, ph * s, pw * s, C)
+
+        wy1 = cyf[:, :, None, None].astype(flat.dtype)
+        wy0 = 1.0 - wy1
+        wx1 = cxf[:, None, :, None].astype(flat.dtype)
+        wx0 = 1.0 - wx1
+
+        val = (
+            gather(cylo, cxlo) * (wy0 * wx0)
+            + gather(cylo, cxhi) * (wy0 * wx1)
+            + gather(cyhi, cxlo) * (wy1 * wx0)
+            + gather(cyhi, cxhi) * (wy1 * wx1)
+        )
+        inside = (cyin[:, :, None] & cxin[:, None, :])[..., None]
+        val = jnp.where(inside, val, 0)
+        val = val.reshape(n, ph, s, pw, s, C)
+        return val.astype(jnp.float32).mean(axis=(2, 4))
+
+    out = lax.map(
+        pool_chunk,
+        tuple(
+            reshape_c(a)
+            for a in (base, ylo, yhi, yfrac, yin, xlo, xhi, xfrac, xin, W_per_roi)
+        ),
+    )
+    out = out.reshape(-1, ph, pw, C)[:R]
     return out.astype(dtype)
 
 
@@ -238,22 +280,6 @@ def roi_align_multilevel(
     ylo, yhi, yfrac, yin = _prep(ys, roi_H)
     xlo, xhi, xfrac, xin = _prep(xs, roi_W)
 
-    def gather(yi, xi):
-        idx = roi_base[:, None, None] + yi[:, :, None] * roi_W[:, None, None] + xi[:, None, :]
-        return jnp.take(flat, idx.reshape(-1), axis=0).reshape(R, ph * s, pw * s, C)
-
-    wy1 = yfrac[:, :, None, None]
-    wy0 = 1.0 - wy1
-    wx1 = xfrac[:, None, :, None]
-    wx0 = 1.0 - wx1
-
-    val = (
-        gather(ylo, xlo) * (wy0 * wx0)
-        + gather(ylo, xhi) * (wy0 * wx1)
-        + gather(yhi, xlo) * (wy1 * wx0)
-        + gather(yhi, xhi) * (wy1 * wx1)
+    return _chunked_bilinear_pool(
+        flat, roi_base, ylo, yhi, yfrac, yin, xlo, xhi, xfrac, xin, roi_W, ph, pw, s, C, dtype
     )
-    inside = (yin[:, :, None] & xin[:, None, :])[..., None]
-    val = jnp.where(inside, val, 0.0)
-    val = val.reshape(R, ph, s, pw, s, C)
-    return val.mean(axis=(2, 4)).astype(dtype)
