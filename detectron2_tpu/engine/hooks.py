@@ -301,3 +301,94 @@ class EvalHook(HookBase):
         if self._eval_after_train and self.trainer.iter + 1 >= self.trainer.max_iter:
             self._do_eval()
         del self._func
+
+
+class PreciseBN(HookBase):
+    """Recompute exact BatchNorm statistics before eval
+    (reference hooks.py:567; fvcore update_bn_stats analogue).
+
+    Only meaningful for models using trainable BatchNorm ("BN"/"SyncBN"):
+    runs N forward passes in train mode, averaging batch statistics into the
+    batch_stats collection. FrozenBN models (the detection default) skip it.
+    """
+
+    def __init__(self, period: int, model, data_loader, num_iter: int):
+        self._period = period
+        self._model = model
+        self._data_loader = data_loader
+        self._num_iter = num_iter
+        self._disabled = False
+        self._data_iter = None
+
+    def update_stats(self):
+        if self._disabled:
+            return
+        import jax
+        import jax.numpy as jnp
+
+        state = self.trainer.state
+        variables = state.params
+        if not isinstance(variables, dict) or "batch_stats" not in variables:
+            logger.info("PreciseBN: model has no batch_stats collection; disabled.")
+            self._disabled = True
+            return
+
+        if self._data_iter is None:
+            self._data_iter = iter(self._data_loader)
+
+        @jax.jit
+        def stats_step(vars_, batch, rng):
+            _, new_vars = self._model.apply(
+                batch if False else vars_, batch, train=True,
+                rngs={"sampling": rng}, mutable=["batch_stats"],
+            )
+            return new_vars["batch_stats"]
+
+        running = None
+        rng = jax.random.PRNGKey(0)
+        for i in range(self._num_iter):
+            batch = next(self._data_iter)
+            batch.pop("metadata", None)
+            stats = stats_step(variables, batch, jax.random.fold_in(rng, i))
+            if running is None:
+                running = stats
+            else:
+                running = jax.tree_util.tree_map(lambda a, b: a + b, running, stats)
+        running = jax.tree_util.tree_map(lambda a: a / self._num_iter, running)
+        new_vars = dict(variables)
+        new_vars["batch_stats"] = running
+        self.trainer._trainer.state = state.replace(params=new_vars)
+        logger.info("PreciseBN: updated batch statistics over %d iters.", self._num_iter)
+
+    def after_step(self):
+        next_iter = self.trainer.iter + 1
+        is_final = next_iter == self.trainer.max_iter
+        if is_final or (self._period > 0 and next_iter % self._period == 0):
+            self.update_stats()
+
+
+class MemoryStats(HookBase):
+    """Log device memory statistics (TPU analogue of TorchMemoryStats,
+    reference hooks.py:639)."""
+
+    def __init__(self, period: int = 20):
+        self._period = period
+
+    def after_step(self):
+        if (self.trainer.iter + 1) % self._period != 0:
+            return
+        import jax
+
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            if stats:
+                self.trainer.storage.put_scalars(
+                    device_bytes_in_use=stats.get("bytes_in_use", 0) / 2**20,
+                    device_peak_bytes=stats.get("peak_bytes_in_use", 0) / 2**20,
+                    smoothing_hint=False,
+                )
+        except Exception:
+            pass
+
+
+TorchMemoryStats = MemoryStats
