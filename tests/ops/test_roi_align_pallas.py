@@ -1,0 +1,69 @@
+"""Pallas RoIAlign vs the XLA gather formulation (interpret mode on CPU)."""
+
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+import detectron2_tpu.ops.pallas.roi_align_pallas as rap
+from detectron2_tpu.ops.roi_align import roi_align_multilevel
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call", functools.partial(orig, interpret=True))
+    yield
+
+
+def _setup(R=40, C=128, seed=0):
+    rng = np.random.RandomState(seed)
+    feats = {
+        "0": jnp.asarray(rng.rand(2, 32, 48, C).astype(np.float32)),
+        "1": jnp.asarray(rng.rand(2, 16, 24, C).astype(np.float32)),
+    }
+    xy = rng.rand(R, 2) * 100
+    wh = rng.rand(R, 2) * 60 + 8
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], 1).astype(np.float32))
+    bidx = jnp.asarray(rng.randint(0, 2, R), jnp.int32)
+    lvl = jnp.asarray(rng.randint(0, 2, R), jnp.int32)
+    return feats, boxes, bidx, lvl
+
+
+def test_matches_xla_formulation():
+    feats, boxes, bidx, lvl = _setup()
+    args = (feats, boxes, bidx, lvl, ("0", "1"), (0.25, 0.125), (7, 7))
+    ref = roi_align_multilevel(*args, sampling_ratio=2)
+    out = rap.roi_align_pallas_multilevel(*args, sampling_ratio=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_mask_resolution():
+    feats, boxes, bidx, lvl = _setup(R=16)
+    args = (feats, boxes, bidx, lvl, ("0", "1"), (0.25, 0.125), (14, 14))
+    ref = roi_align_multilevel(*args, sampling_ratio=2)
+    out = rap.roi_align_pallas_multilevel(*args, sampling_ratio=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_out_of_bounds_boxes():
+    feats, _, bidx, lvl = _setup(R=4)
+    # boxes partially outside the image; padding rows (zero boxes)
+    boxes = jnp.asarray(
+        [
+            [-20.0, -20.0, 40.0, 40.0],
+            [100.0, 60.0, 300.0, 200.0],
+            [0.0, 0.0, 0.0, 0.0],
+            [5.0, 5.0, 6.0, 6.0],
+        ],
+        jnp.float32,
+    )
+    args = (feats, boxes, bidx[:4], lvl[:4], ("0", "1"), (0.25, 0.125), (7, 7))
+    ref = roi_align_multilevel(*args, sampling_ratio=2)
+    out = rap.roi_align_pallas_multilevel(*args, sampling_ratio=2)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
