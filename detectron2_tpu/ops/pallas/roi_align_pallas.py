@@ -1,31 +1,35 @@
 """Pallas RoIAlign kernel for TPU.
 
 XLA lowers the gather formulation of RoIAlign (ops/roi_align.py) to row-wise
-dynamic slices that run at ~240ns/row on TPU — 1.5s+ for a Mask R-CNN batch.
-This kernel replaces the gather with explicit double-buffered DMAs:
+dynamic slices that run at ~240ns/row on TPU — 1.5s+ for a Mask R-CNN batch
+of 8000 rois. This kernel restructures the data movement:
 
-- the grid iterates over blocks of ROI_BLOCK rois (block size 8 keeps every
-  VMEM block shape aligned to the (8, 128) tiling rule);
-- per output sample row, ONE async copy brings a [2 (y-corners), XW, C]
-  window of the roi's feature level from HBM into VMEM;
-- y-interpolation is a vector blend; x-interpolation and the bin average are
-  ONE small matmul on the MXU (the interpolation matrix is built in-register
-  from iota comparisons);
-- per-roi DMA offsets / weights are precomputed in XLA and arrive as packed
-  VMEM rows.
+- ONE async copy per roi brings the roi's whole sampling footprint — a
+  [YH, XW, C] y-span x x-window block of its (padded) feature level — from
+  HBM into VMEM, pipelined 3 deep across rois;
+- per output sample row, y-interpolation is a dynamic 2-row blend from the
+  window and x-interpolation + bin averaging is ONE small MXU matmul whose
+  interpolation matrix is built in-register from iota comparisons;
+- per-roi scalars (window origin, level id, per-row y offsets) ride scalar
+  prefetch (SMEM), float weights ride aligned VMEM blocks.
 
-The x window is a fixed ``XW`` columns (default 64). A roi whose horizontal
-span at its assigned FPN level exceeds XW-2 gets its sample columns clamped
-into the window — only possible for boxes with aspect ratio > ~19 at their
-canonical level (the level router bounds sqrt(wh)/stride at 14), a
-vanishing set whose pooled features are degenerate anyway.
+Geometry: the window is YH rows x XW columns (default 48 x 64). The FPN level
+router bounds a roi's footprint at its assigned level to ~sqrt(wh)/stride<=14,
+so spans beyond the window only occur for extreme aspect ratios or
+level-clamped giants; their samples are clamped into the window (a
+neglible-AP approximation on degenerate boxes).
 
-The backward pass (used in training) runs the XLA formulation's autodiff via
+The backward pass (training) runs the XLA formulation's autodiff via
 custom_vjp; inference is where this kernel is critical.
 """
 
 import functools
+import os
 from typing import List, Tuple
+
+# debug knobs for kernel profiling
+_SKIP_DMA = os.environ.get("D2T_RA_SKIP_DMA", "0") == "1"
+_SKIP_COMPUTE = os.environ.get("D2T_RA_SKIP_COMPUTE", "0") == "1"
 
 import jax
 import jax.numpy as jnp
@@ -35,24 +39,29 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["roi_align_pallas_multilevel"]
 
-ROI_BLOCK = 8
+ROI_BLOCK = 8  # rois per grid step (keeps VMEM blocks (8, ...) aligned)
+N_SLOTS = 4  # DMA pipeline depth; divides ROI_BLOCK so slots are static
 
 
-def _precompute(boxes, batch_indices, level_assignments, level_bases, hs, ws, scales, ph, pw, s, XW):
-    """XLA-side index & weight preparation, packed into aligned rows.
+def _precompute(
+    boxes, batch_indices, level_assignments, hs, ws, ws_true, scales, ph, pw, s, XW, YH
+):
+    """XLA-side preparation of per-roi scalars and weights.
 
     Returns:
-        rows_i32: int32 [R, NI] — per roi: row0 flat start per sample row
-            (ph*s entries) then the roi's level W (for the +W second corner).
-        yw_f32: f32 [R, NY] — (1-fy)*valid then fy*valid per sample row.
-        xw_f32: f32 [R, NX] — x_off (as float), x_frac, x_valid per sample col.
+        ints_i32: [R, 2 + ph*s] — (plane_row0, level, y_off per sample row)
+            where plane_row0 = b * H_l + y_first is the window's first row in
+            the level's [B*H, W, C] plane and y_off the per-sample-row offset
+            within the window.
+        yw_f32: [R, 2*ph*s] — (1-fy)*valid then fy*valid per sample row.
+        xw_f32: [R, 1 + 3*pw*s] — x_start then x_off / x_frac / x_valid.
     """
     R = boxes.shape[0]
     lvl = level_assignments.astype(jnp.int32)
-    base = level_bases[lvl] + batch_indices.astype(jnp.int32) * hs[lvl] * ws[lvl]
     H = hs[lvl].astype(jnp.float32)
-    W = ws[lvl].astype(jnp.float32)
-    Wi = ws[lvl]
+    Hi = hs[lvl]
+    W = ws_true[lvl].astype(jnp.float32)  # true width: clipping/validity
+    Wi = ws[lvl]  # padded width
     scale = scales[lvl]
 
     b = boxes.astype(jnp.float32)
@@ -68,114 +77,123 @@ def _precompute(boxes, batch_indices, level_assignments, level_bases, hs, ws, sc
     ys = y0[:, None] + iy[None, :] * bin_h[:, None]  # [R, ph*s]
     xs = x0[:, None] + ix[None, :] * bin_w[:, None]  # [R, pw*s]
 
-    # ---- y
+    # ---- y: window of YH rows; sample offsets within it
     y_in = (ys >= -1.0) & (ys <= H[:, None])
     yc = jnp.clip(ys, 0.0, H[:, None] - 1.0)
-    ylo_i = jnp.floor(yc).astype(jnp.int32)
-    ylo_i = jnp.clip(ylo_i, 0, jnp.maximum(hs[lvl][:, None] - 2, 0))
-    fy = jnp.clip(yc - ylo_i.astype(jnp.float32), 0.0, 1.0)
+    ylo = jnp.floor(yc).astype(jnp.int32)
+    ylo = jnp.clip(ylo, 0, jnp.maximum(Hi[:, None] - 2, 0))
+    y_first = jnp.clip(jnp.min(ylo, axis=1), 0, jnp.maximum(Hi - YH, 0))  # [R]
+    y_off = jnp.clip(ylo - y_first[:, None], 0, YH - 2)
+    fy = jnp.clip(yc - (y_first[:, None] + y_off).astype(jnp.float32), 0.0, 1.0)
     yw0 = (1.0 - fy) * y_in
     yw1 = fy * y_in
 
-    # ---- x (fixed window)
+    plane_row0 = batch_indices.astype(jnp.int32) * Hi + y_first  # [R]
+
+    # ---- x: window of XW cols, start aligned to 8 for tiled HBM slicing
     x_in = ((xs >= -1.0) & (xs <= W[:, None])).astype(jnp.float32)
     xc = jnp.clip(xs, 0.0, W[:, None] - 1.0)
     xlo = jnp.floor(xc).astype(jnp.int32)
-    x_start = jnp.clip(jnp.min(xlo, axis=1), 0, jnp.maximum(Wi - XW, 0))
+    x_start = jnp.clip((jnp.min(xlo, axis=1) // 8) * 8, 0, jnp.maximum(Wi - XW, 0))
     x_off = jnp.clip(xlo - x_start[:, None], 0, XW - 2)
     x_frac = jnp.clip(xc - (x_start[:, None] + x_off).astype(jnp.float32), 0.0, 1.0)
 
-    row0 = base[:, None] + ylo_i * Wi[:, None] + x_start[:, None]  # [R, ph*s]
+    ints_i32 = jnp.concatenate(
+        [plane_row0[:, None], lvl[:, None], y_off], axis=1
+    ).astype(jnp.int32)
+    yw_f32 = jnp.concatenate([yw0, yw1], axis=1).astype(jnp.float32)
+    xw_f32 = jnp.concatenate(
+        [x_start[:, None].astype(jnp.float32), x_off.astype(jnp.float32), x_frac, x_in], axis=1
+    ).astype(jnp.float32)
+    return ints_i32, yw_f32, xw_f32, x_start.astype(jnp.int32)
 
-    rows_i32 = jnp.concatenate([row0, Wi[:, None]], axis=1)  # [R, ph*s + 1]
-    yw_f32 = jnp.concatenate([yw0, yw1], axis=1)  # [R, 2*ph*s]
-    xw_f32 = jnp.concatenate([x_off.astype(jnp.float32), x_frac, x_in], axis=1)  # [R, 3*pw*s]
-    return rows_i32.astype(jnp.int32), yw_f32.astype(jnp.float32), xw_f32.astype(jnp.float32)
 
-
-def _kernel(
-    rows_ref,  # VMEM int32 [ROI_BLOCK, ph*s + 1]
-    yw_ref,  # VMEM f32 [ROI_BLOCK, 2*ph*s]
-    xw_ref,  # VMEM f32 [ROI_BLOCK, 3*pw*s]
-    flat_ref,  # ANY/HBM [T, C]
-    out_ref,  # VMEM [ROI_BLOCK, ph, pw, C]
-    win_ref,  # VMEM scratch [2, 2, XW, C]
-    acc_ref,  # VMEM scratch [ph*pw, C] f32
-    sems,  # DMA sems [2, 2]
-    *,
-    ph: int,
-    pw: int,
-    s: int,
-    XW: int,
-    C: int,
-):
+def _make_kernel(ph, pw, s, XW, YH, C, num_levels, total_rois):
     n_rows = ph * s
 
-    def dma(j, i, slot):
-        start0 = rows_ref[j, i]
-        w = rows_ref[j, n_rows]
-        c0 = pltpu.make_async_copy(
-            flat_ref.at[pl.ds(start0, XW), :], win_ref.at[slot, 0], sems.at[slot, 0]
-        )
-        c1 = pltpu.make_async_copy(
-            flat_ref.at[pl.ds(start0 + w, XW), :], win_ref.at[slot, 1], sems.at[slot, 1]
-        )
-        return c0, c1
+    def kernel(ints_ref, yw_ref, xs_ref, xw_ref, *rest):
+        # rest: num_levels level planes (ANY), out_ref, win, acc, sems
+        level_refs = rest[:num_levels]
+        out_ref = rest[num_levels]
+        win_ref = rest[num_levels + 1]
+        acc_ref = rest[num_levels + 2]
+        sems = rest[num_levels + 3]
 
-    def issue(j, i, slot):
-        c0, c1 = dma(j, i, slot)
-        c0.start()
-        c1.start()
+        block0 = pl.program_id(0) * ROI_BLOCK
 
-    def wait(j, i, slot):
-        c0, c1 = dma(j, i, slot)
-        c0.wait()
-        c1.wait()
+        def dma(a, slot, L):
+            row0 = ints_ref[a, 0]
+            xst = pl.multiple_of(xs_ref[a], 8)
+            return pltpu.make_async_copy(
+                level_refs[L].at[pl.ds(row0, YH), pl.ds(xst, XW), :],
+                win_ref.at[pl.ds(slot * YH, YH)],
+                sems.at[slot],
+            )
 
-    col_ids = lax.broadcasted_iota(jnp.float32, (pw * s, XW), 1)
+        def issue(a, slot):
+            if _SKIP_DMA:
+                return
+            lvl = ints_ref[a, 1]
+            for L in range(num_levels):
+                @pl.when(lvl == L)
+                def _():
+                    dma(a, slot, L).start()
 
-    issue(0, 0, 0)
+        def wait(a, slot):
+            if _SKIP_DMA:
+                return
+            lvl = ints_ref[a, 1]
+            for L in range(num_levels):
+                @pl.when(lvl == L)
+                def _():
+                    dma(a, slot, L).wait()
 
-    for j in range(ROI_BLOCK):
-        # x-interpolation matrix folded with the bin average: [pw, XW]
-        x_off = xw_ref[j, 0 : pw * s][:, None]
-        x_frac = xw_ref[j, pw * s : 2 * pw * s][:, None]
-        x_val = xw_ref[j, 2 * pw * s : 3 * pw * s][:, None]
-        wx_samples = (
-            jnp.where(col_ids == x_off, (1.0 - x_frac) * x_val, 0.0)
-            + jnp.where(col_ids == x_off + 1.0, x_frac * x_val, 0.0)
-        )  # [pw*s, XW]
-        wx = wx_samples.reshape(pw, s, XW).sum(axis=1) * (1.0 / (s * s))  # [pw, XW]
+        # prologue: fill the pipeline on the first grid step only
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            for k in range(min(N_SLOTS - 1, ROI_BLOCK)):
+                issue(block0 + k, k % N_SLOTS)
 
-        acc_ref[:] = jnp.zeros((ph * pw, C), jnp.float32)
+        col_ids = lax.broadcasted_iota(jnp.int32, (pw * s, XW), 1).astype(jnp.float32)
 
-        def body(i, _):
-            slot = lax.rem(i, 2)
+        for j in range(ROI_BLOCK):
+            a = block0 + j
+            slot = j % N_SLOTS  # static: ROI_BLOCK % N_SLOTS == 0
 
-            # pipeline: issue the next row pair (possibly of the next roi)
-            nxt = i + 1
-            nxt_j = j + nxt // n_rows
-            nxt_i = lax.rem(nxt, n_rows)
+            nxt = a + (N_SLOTS - 1)
 
-            @pl.when(nxt_j < ROI_BLOCK)
+            @pl.when(nxt < total_rois)
             def _():
-                issue(nxt_j, nxt_i, lax.rem(nxt, 2))
+                issue(nxt, (j + N_SLOTS - 1) % N_SLOTS)
 
-            wait(j, i, slot)
+            wait(a, slot)
 
-            w0 = yw_ref[j, i]
-            w1 = yw_ref[j, n_rows + i]
-            blended = (
-                win_ref[slot, 0].astype(jnp.float32) * w0 + win_ref[slot, 1].astype(jnp.float32) * w1
-            )  # [XW, C]
-            contrib = jnp.dot(
-                wx, blended, preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST
-            )  # [pw, C]
-            acc_ref[pl.ds((i // s) * pw, pw), :] += contrib
-            return 0
+            # x interpolation matrix folded with both bin averages: [pw, XW]
+            x_off = xw_ref[j, 1 : 1 + pw * s][:, None]
+            x_frac = xw_ref[j, 1 + pw * s : 1 + 2 * pw * s][:, None]
+            x_val = xw_ref[j, 1 + 2 * pw * s : 1 + 3 * pw * s][:, None]
+            wx_samples = jnp.where(col_ids == x_off, (1.0 - x_frac) * x_val, 0.0) + jnp.where(
+                col_ids == x_off + 1.0, x_frac * x_val, 0.0
+            )
+            wx = wx_samples.reshape(pw, s, XW).sum(axis=1) * (1.0 / (s * s))  # [pw, XW]
 
-        lax.fori_loop(0, n_rows, body, 0, unroll=False)
-        out_ref[j] = acc_ref[:].reshape(ph, pw, C).astype(out_ref.dtype)
+            dt = win_ref.dtype
+            wx_d = wx.astype(dt)
+            acc_ref[:] = jnp.zeros((ph * pw, C), jnp.float32)
+            for i in range([] if _SKIP_COMPUTE else range(n_rows)) if False else (range(0) if _SKIP_COMPUTE else range(n_rows)):
+                yo = ints_ref[a, 2 + i]
+                # dynamic offset on the MAJOR dim only (cheap slice)
+                pair = win_ref[pl.ds(slot * YH + yo, 2)]  # [2, XW, C]
+                w0 = yw_ref[a, i].astype(dt)
+                w1 = yw_ref[a, n_rows + i].astype(dt)
+                blended = pair[0] * w0 + pair[1] * w1
+                # native-dtype MXU matmul with f32 accumulation
+                contrib = jnp.dot(wx_d, blended, preferred_element_type=jnp.float32)
+                acc_ref[(i // s) * pw : (i // s + 1) * pw, :] += contrib
+
+            out_ref[j] = acc_ref[:].reshape(ph, pw, C).astype(out_ref.dtype)
+
+    return kernel
 
 
 def roi_align_pallas_multilevel(
@@ -189,6 +207,7 @@ def roi_align_pallas_multilevel(
     sampling_ratio: int = 0,
     aligned: bool = True,
     x_window: int = 64,
+    y_window: int = 48,
 ) -> jnp.ndarray:
     """Drop-in replacement for ops.roi_align.roi_align_multilevel (same
     argument contract), running the Pallas kernel. aligned=True only."""
@@ -198,25 +217,31 @@ def roi_align_pallas_multilevel(
     ph, pw = output_size
     s = int(sampling_ratio) if sampling_ratio > 0 else 2
     XW = x_window
+    YH = y_window
 
     feats = [features[n] for n in level_order]
     B, _, _, C = feats[0].shape
     dtype = feats[0].dtype
     R = boxes.shape[0]
 
-    flat_parts, bases, hs, ws = [], [], [], []
-    off = 0
+    planes, hs, ws, ws_true = [], [], [], []
     for f in feats:
         _, H, W, _ = f.shape
-        flat_parts.append(f.reshape(B * H * W, C))
-        bases.append(off)
+        ws_true.append(W)
+        Wp = ((W + 7) // 8) * 8
+        if Wp != W:
+            f = jnp.pad(f, ((0, 0), (0, 0), (0, Wp - W), (0, 0)))
+        # pad plane rows so a window starting at the last row stays in bounds
+        plane = f.reshape(B * H, Wp, C)
+        if B * H < YH:
+            plane = jnp.pad(plane, ((0, YH - B * H), (0, 0), (0, 0)))
+        # ensure XW columns exist
+        if Wp < XW:
+            plane = jnp.pad(plane, ((0, 0), (0, XW - Wp), (0, 0)))
+            Wp = XW
+        planes.append(plane)
         hs.append(H)
-        ws.append(W)
-        off += B * H * W
-    flat = jnp.concatenate(flat_parts, axis=0)
-    # guard rows so the last row's +W window and XW overhang stay in bounds
-    guard = ws[-1] + XW
-    flat = jnp.concatenate([flat, jnp.zeros((guard, C), flat.dtype)], axis=0)
+        ws.append(Wp)
 
     pad = (-R) % ROI_BLOCK
     if pad:
@@ -229,42 +254,53 @@ def roi_align_pallas_multilevel(
         )
     Rp = boxes.shape[0]
 
-    rows_i32, yw_f32, xw_f32 = _precompute(
+    ints_i32, yw_f32, xw_f32, x_start = _precompute(
         boxes,
         batch_indices,
         level_assignments,
-        jnp.asarray(bases, jnp.int32),
         jnp.asarray(hs, jnp.int32),
         jnp.asarray(ws, jnp.int32),
+        jnp.asarray(ws_true, jnp.int32),
         jnp.asarray(scales, jnp.float32),
         ph,
         pw,
         s,
         XW,
+        YH,
     )
 
-    kernel = functools.partial(_kernel, ph=ph, pw=pw, s=s, XW=XW, C=C)
-    NI = ph * s + 1
-    NY = 2 * ph * s
-    NX = 3 * pw * s
+    NX = 1 + 3 * pw * s
+    num_levels = len(planes)
 
-    out = pl.pallas_call(
-        kernel,
-        grid=(Rp // ROI_BLOCK,),
-        in_specs=[
-            pl.BlockSpec((ROI_BLOCK, NI), lambda r: (r, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROI_BLOCK, NY), lambda r: (r, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROI_BLOCK, NX), lambda r: (r, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(
-            (ROI_BLOCK, ph, pw, C), lambda r: (r, 0, 0, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, 2, XW, C), dtype),
-            pltpu.VMEM((ph * pw, C), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
-        out_shape=jax.ShapeDtypeStruct((Rp, ph, pw, C), dtype),
-    )(rows_i32, yw_f32, xw_f32, flat)
+    # scalar-prefetch arrays live wholly in SMEM (1MB) -> chunk the call
+    CHUNK = 512
+    outs = []
+    for c0 in range(0, Rp, CHUNK):
+        c1 = min(c0 + CHUNK, Rp)
+        n = c1 - c0
+        kernel = _make_kernel(ph, pw, s, XW, YH, C, num_levels, n)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,  # ints, yw, x_start
+            grid=(n // ROI_BLOCK,),
+            in_specs=[
+                pl.BlockSpec((ROI_BLOCK, NX), lambda r, *_: (r, 0), memory_space=pltpu.VMEM),
+            ]
+            + [pl.BlockSpec(memory_space=pl.ANY)] * num_levels,
+            out_specs=pl.BlockSpec(
+                (ROI_BLOCK, ph, pw, C), lambda r, *_: (r, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((N_SLOTS * YH, XW, C), dtype),
+                pltpu.VMEM((ph * pw, C), jnp.float32),
+                pltpu.SemaphoreType.DMA((N_SLOTS,)),
+            ],
+        )
+        outs.append(
+            pl.pallas_call(
+                kernel,
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((n, ph, pw, C), dtype),
+            )(ints_i32[c0:c1], yw_f32[c0:c1], x_start[c0:c1], xw_f32[c0:c1], *planes)
+        )
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     return out[:R]

@@ -16,7 +16,7 @@ bidx = jnp.asarray(rng.randint(0, 8, R), jnp.int32)
 lvl = jnp.asarray(rng.randint(0, 4, R), jnp.int32)
 
 f = jax.jit(lambda ft, b, bi, lv: roi_align_pallas_multilevel(
-    ft, b, bi, lv, ("0","1","2","3"), (0.25,0.125,0.0625,0.03125), (7,7), sampling_ratio=2))
+    ft, b, bi, lv, ("0","1","2","3"), (0.25,0.125,0.0625,0.03125), (7,7), sampling_ratio=2, x_window=32, y_window=16))
 out = f(feats, boxes, bidx, lvl)
 print("checksum", float(np.asarray(out, np.float32).sum()))
 t0 = time.perf_counter()
