@@ -102,12 +102,16 @@ class ROIPooler:
         """
         assert len(x) == len(self.scales)
         if len(x) == 1:
-            return roi_align(
-                x[0],
+            # route through the multilevel entry point so the single-level
+            # case also hits the pallas kernel on TPU
+            return roi_align_multilevel(
+                {"0": x[0]},
                 boxes,
                 batch_indices,
+                jnp.zeros((boxes.shape[0],), jnp.int32),
+                ("0",),
+                (self.scales[0],),
                 self.output_size,
-                spatial_scale=self.scales[0],
                 sampling_ratio=self.sampling_ratio,
                 aligned=self.aligned,
             )
