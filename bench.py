@@ -45,7 +45,7 @@ def main():
     model = build_model(cfg)
 
     # COCO inference shape: ResizeShortestEdge(800, 1333) padded to /32
-    B, H, W = 8, 800, 1344
+    B, H, W = 16, 800, 1344
     rng = np.random.RandomState(0)
     batch = {
         "image": jnp.asarray(rng.randint(0, 255, (B, H, W, 3)).astype(np.uint8)),

@@ -13,6 +13,7 @@ from detectron2_tpu.layers.batch_norm import (
     get_norm,
 )
 from detectron2_tpu.layers.blocks import CNNBlockBase, DepthwiseSeparableConv2d
+from detectron2_tpu.layers.deform_conv import DeformConv, ModulatedDeformConv
 from detectron2_tpu.layers.losses import (
     ciou_loss,
     cross_entropy,
