@@ -69,7 +69,7 @@ def main():
     out = fwd(params, batch)
     sync(out)
 
-    iters = 10
+    iters = 30
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fwd(params, batch)
