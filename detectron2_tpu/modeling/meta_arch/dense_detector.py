@@ -128,10 +128,11 @@ class DenseDetector(nn.Module):
     def _ema_loss_normalizer(self, current: jnp.ndarray, momentum: float = 0.9):
         """EMA of #foreground anchors used to normalize the focal loss
         (reference dense_detector.py:183). Stored in a mutable 'meters'
-        collection so it persists across compiled steps."""
+        collection so it persists across compiled steps; stop_gradient so the
+        normalizer never backpropagates."""
         init = jnp.asarray(100.0, jnp.float32)
         meter = self.variable("meters", "loss_normalizer", lambda: init)
         new_val = meter.value * momentum + current * (1 - momentum)
-        if not self.is_initializing():
+        if not self.is_initializing() and self.scope.is_mutable_collection("meters"):
             meter.value = new_val
-        return new_val
+        return jax.lax.stop_gradient(new_val)

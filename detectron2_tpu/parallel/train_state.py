@@ -50,13 +50,27 @@ def make_train_step(
     """
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng) -> Tuple[TrainState, Dict]:
-        def loss_fn(params):
-            losses = model.apply(params, batch, train=True, rngs={"sampling": rng, "dropout": rng})
-            total = sum(jax.tree_util.tree_leaves(losses))
-            return total, losses
+        variables = state.params
+        # non-"params" collections (meters, batch_stats) update in the fwd pass
+        mutable = [c for c in variables.keys() if c != "params"] if isinstance(variables, dict) else []
 
-        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        def loss_fn(params):
+            if mutable:
+                losses, new_vars = model.apply(
+                    params, batch, train=True, rngs={"sampling": rng, "dropout": rng}, mutable=mutable
+                )
+            else:
+                losses = model.apply(params, batch, train=True, rngs={"sampling": rng, "dropout": rng})
+                new_vars = {}
+            total = sum(jax.tree_util.tree_leaves(losses))
+            return total, (losses, new_vars)
+
+        (total, (losses, new_vars)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads)
+        if mutable and new_vars:
+            merged = dict(new_state.params)
+            merged.update(jax.lax.stop_gradient(new_vars))
+            new_state = new_state.replace(params=merged)
         losses = dict(losses)
         losses["total_loss"] = total
         return new_state, losses

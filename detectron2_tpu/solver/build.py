@@ -26,6 +26,10 @@ def get_param_labels(params) -> Any:
 
     def label(path, leaf):
         keys = [p.key if hasattr(p, "key") else str(p) for p in path]
+        # non-trainable collections (EMA meters, batch statistics): zero-grad
+        # leaves that must never receive weight decay
+        if keys and keys[0] in ("meters", "batch_stats", "frozen"):
+            return "norm"
         if any(any(m in k for m in _NORM_MARKERS) for k in keys):
             return "norm"
         if keys and keys[-1] in ("bias",):

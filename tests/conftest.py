@@ -16,3 +16,20 @@ if "xla_force_host_platform_device_count" not in prev:
     os.environ["XLA_FLAGS"] = (prev + " --xla_force_host_platform_device_count=8").strip()
 # keep compilation fast & deterministic in tests
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules: the full suite compiles
+    dozens of large CPU programs (e2e models on an 8-device mesh) and can
+    otherwise exhaust host memory late in the run."""
+    yield
+    import gc
+
+    import jax
+
+    jax.clear_caches()
+    gc.collect()

@@ -91,8 +91,9 @@ def test_iteration_timer_and_writers(tmp_path):
 
     lines = [l for l in open(json_file) if l.strip()]
     assert len(lines) > 0
-    rec = _json.loads(lines[-1])
-    assert "total_loss" in rec
+    # metrics are written with a one-step delay; total_loss must appear in
+    # some written record
+    assert any("total_loss" in _json.loads(l) for l in lines)
 
 
 def test_checkpoint_roundtrip(tmp_path):
