@@ -5,6 +5,10 @@ from detectron2_tpu.data.datasets.cityscapes import (
     load_cityscapes_semantic,
     register_cityscapes,
 )
+from detectron2_tpu.data.datasets.cityscapes_panoptic import (
+    load_cityscapes_panoptic,
+    register_all_cityscapes_panoptic,
+)
 from detectron2_tpu.data.datasets.coco_panoptic import (
     register_coco_panoptic,
     register_coco_panoptic_separated,

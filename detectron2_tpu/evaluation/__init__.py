@@ -1,4 +1,9 @@
+from detectron2_tpu.evaluation.cityscapes_evaluation import (
+    CityscapesInstanceEvaluator,
+    CityscapesSemSegEvaluator,
+)
 from detectron2_tpu.evaluation.coco_evaluation import COCOEvaluator, instances_to_coco_json
+from detectron2_tpu.evaluation.fast_eval_api import COCOeval_opt
 from detectron2_tpu.evaluation.evaluator import (
     DatasetEvaluator,
     DatasetEvaluators,

@@ -352,9 +352,11 @@ class ResNet(Backbone):
     out_features: Tuple[str, ...] = ("res4",)
     freeze_at: int = 0
     num_classes: Optional[int] = None  # classification head (for pretraining parity)
+    stem_class: Any = None  # alternative stem module class (e.g. DeepLabStem)
 
     def setup(self):
-        self.stem = BasicStem(out_channels=self.stem_out_channels, norm=self.norm)
+        stem_cls = self.stem_class or BasicStem
+        self.stem = stem_cls(out_channels=self.stem_out_channels, norm=self.norm)
         stages = []
         for stage_idx, blocks in enumerate(self.stage_specs, start=2):
             mods = []

@@ -110,4 +110,7 @@ def build_mask_head(cfg, input_shape=None):
             conv_norm=cfg.MODEL.ROI_MASK_HEAD.NORM,
             cls_agnostic=cfg.MODEL.ROI_MASK_HEAD.CLS_AGNOSTIC_MASK,
         )
-    return ROI_MASK_HEAD_REGISTRY.get(name)(cfg, input_shape)
+    head_cls = ROI_MASK_HEAD_REGISTRY.get(name)
+    if hasattr(head_cls, "from_config"):
+        return head_cls.from_config(cfg, input_shape)
+    return head_cls(cfg, input_shape)

@@ -275,7 +275,7 @@ class StandardROIHeads(nn.Module):
             rng = self.make_rng("sampling")
             sampled = self.label_and_sample_proposals(rng, proposal_boxes, proposal_valid, targets)
             losses = self._forward_box_train(feats, sampled, targets)
-            if self.mask_head is not None:
+            if self._has_mask_branch():
                 losses.update(self._forward_mask_train(feats, sampled, targets))
             if self.keypoint_head is not None:
                 losses.update(self._forward_keypoint_train(feats, sampled, targets))
@@ -291,11 +291,16 @@ class StandardROIHeads(nn.Module):
         """Run mask/keypoint heads on final detection boxes (inference
         cascade: box first; reference roi_heads.py:753)."""
         feats = [features[f] for f in self.in_features]
-        if self.mask_head is not None:
+        if self._has_mask_branch():
             detections = self._forward_mask_inference(feats, detections)
         if self.keypoint_head is not None:
             detections = self._forward_keypoint_inference(feats, detections)
         return detections
+
+    def _has_mask_branch(self) -> bool:
+        """Whether the mask-branch hooks run (subclasses with extra per-roi
+        dense branches — e.g. DensePose — override to opt in without masks)."""
+        return self.mask_head is not None
 
     # ------------------------------------------------------------ box branch
     def _box_features(self, feats, boxes_flat, batch_idx, train):

@@ -1,0 +1,27 @@
+"""DensePose config keys (reference projects/DensePose/densepose/config.py —
+the chart-head subset)."""
+
+from detectron2_tpu.config.cfg_node import CfgNode as CN
+
+
+def add_densepose_config(cfg):
+    """Add config for the DensePose chart baseline."""
+    cfg.MODEL.ROI_HEADS.NAME = "DensePoseROIHeads"
+    cfg.MODEL.DENSEPOSE_ON = True
+
+    cfg.MODEL.ROI_DENSEPOSE_HEAD = CN()
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.NAME = "DensePoseChartHead"
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.NUM_STACKED_CONVS = 8
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.CONV_HEAD_DIM = 512
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.CONV_HEAD_KERNEL = 3
+    # 24 body parts + background for the index head
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.NUM_PATCHES = 24
+    # 14 coarse segmentation channels (the AnnIndex head)
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.NUM_COARSE_SEGM_CHANNELS = 2
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.POOLER_RESOLUTION = 28
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.POOLER_SAMPLING_RATIO = 2
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.HEATMAP_SIZE = 112
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.INDEX_WEIGHTS = 5.0
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.PART_WEIGHTS = 1.0
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.POINT_REGRESSION_WEIGHTS = 0.01
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.DECODER_ON = False

@@ -1,0 +1,152 @@
+"""DensePose ROI heads
+(reference projects/DensePose/densepose/roi_heads.py + losses in
+densepose/modeling/losses/chart.py).
+
+Training losses, all at the annotated points (DensePose GT is ~100 labeled
+points per person):
+- fine_segm: CE over 25 part classes at annotated points;
+- u / v: smooth-L1 between the gt chart coords and the predicted U/V of the
+  GT part channel at each point;
+- coarse_segm: CE (fg = any annotated part) at the points.
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from detectron2_tpu.layers.losses import smooth_l1_loss
+from detectron2_tpu.modeling.roi_heads.roi_heads import (
+    ROI_HEADS_REGISTRY,
+    StandardROIHeads,
+    select_foreground_slots,
+)
+from detectron2_tpu.projects.densepose.densepose_head import build_densepose_head
+from detectron2_tpu.projects.point_rend.point_features import point_sample
+from detectron2_tpu.projects.point_sup.point_utils import (
+    get_point_coords_from_point_annotation,
+)
+
+__all__ = ["DensePoseROIHeads"]
+
+
+@ROI_HEADS_REGISTRY.register()
+class DensePoseROIHeads(StandardROIHeads):
+    """StandardROIHeads + the DensePose IUV branch."""
+
+    densepose_head: Optional[nn.Module] = None
+    densepose_pooler_resolution: int = 28
+    index_weight: float = 5.0
+    part_weight: float = 1.0
+    point_regression_weight: float = 0.01
+
+    @classmethod
+    def from_config(cls, cfg, input_shape):
+        base = StandardROIHeads.from_config.__func__(cls, cfg, input_shape)
+        h = cfg.MODEL.ROI_DENSEPOSE_HEAD
+        return base.clone(
+            densepose_head=build_densepose_head(cfg) if cfg.MODEL.DENSEPOSE_ON else None,
+            densepose_pooler_resolution=h.POOLER_RESOLUTION,
+            index_weight=h.INDEX_WEIGHTS,
+            part_weight=h.PART_WEIGHTS,
+            point_regression_weight=h.POINT_REGRESSION_WEIGHTS,
+        )
+
+    # the densepose branch piggybacks on the mask hooks so the standard
+    # control flow drives it without re-implementing __call__
+    def _has_mask_branch(self) -> bool:
+        return self.mask_head is not None or self.densepose_head is not None
+
+    def _forward_mask_train(self, feats, sampled, targets):
+        losses = {}
+        if self.mask_head is not None:
+            losses.update(super()._forward_mask_train(feats, sampled, targets))
+        if self.densepose_head is not None and "gt_dp_points" in targets:
+            losses.update(self._forward_densepose_train(feats, sampled, targets))
+        return losses
+
+    def _forward_mask_inference(self, feats, detections):
+        if self.mask_head is not None:
+            detections = super()._forward_mask_inference(feats, detections)
+        if self.densepose_head is not None:
+            detections = self._forward_densepose_inference(feats, detections)
+        return detections
+
+    def _forward_densepose_train(self, feats, sampled, targets):
+        B, S = sampled["gt_classes"].shape
+        Rf = self.fg_budget
+
+        fg_idx, fg_valid = jax.vmap(lambda m: select_foreground_slots(m, Rf))(sampled["is_fg"])
+        fg_boxes = jnp.take_along_axis(sampled["boxes"], fg_idx[..., None], axis=1)
+        fg_gt_idx = jnp.take_along_axis(sampled["gt_idx"], fg_idx, axis=1)
+        boxes_flat = fg_boxes.reshape(-1, 4)
+        batch_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), Rf)
+        valid_flat = fg_valid.reshape(-1).astype(jnp.float32)
+
+        pooled = self._pooler(self.densepose_pooler_resolution)(feats, boxes_flat, batch_idx)
+        out = self.densepose_head(pooled, train=True)
+        K = out["fine_segm"].shape[-1]
+
+        # matched gt annotations -> proposal frame
+        P = targets["gt_dp_points"].shape[2]
+        pts = jnp.take_along_axis(
+            targets["gt_dp_points"], fg_gt_idx[..., None, None], axis=1
+        ).reshape(B * Rf, P, 2)
+        part = jnp.take_along_axis(
+            targets["gt_dp_part"], fg_gt_idx[..., None], axis=1
+        ).reshape(B * Rf, P)
+        gt_u = jnp.take_along_axis(targets["gt_dp_u"], fg_gt_idx[..., None], axis=1).reshape(
+            B * Rf, P
+        )
+        gt_v = jnp.take_along_axis(targets["gt_dp_v"], fg_gt_idx[..., None], axis=1).reshape(
+            B * Rf, P
+        )
+
+        coords, _, weights = get_point_coords_from_point_annotation(
+            boxes_flat, pts, jnp.where(part >= 0, 1, -1)
+        )
+        w = weights * valid_flat[:, None]  # [R, P]
+
+        # fine segmentation: CE over part classes (bg=0, parts 1..24)
+        fine_at = point_sample(out["fine_segm"], coords)  # [R, P, K]
+        part_cls = jnp.clip(part + 1, 0, K - 1)  # annotated points are fg parts
+        logp = jax.nn.log_softmax(fine_at, axis=-1)
+        ce = -jnp.take_along_axis(logp, part_cls[..., None], axis=-1)[..., 0]
+        loss_index = (ce * w).sum() / jnp.maximum(w.sum(), 1.0)
+
+        # coarse segmentation: annotated points are foreground (channel 1)
+        coarse_at = point_sample(out["coarse_segm"], coords)
+        logp_c = jax.nn.log_softmax(coarse_at, axis=-1)
+        loss_coarse = (-logp_c[..., 1] * w).sum() / jnp.maximum(w.sum(), 1.0)
+
+        # u/v regression on the GT part channel
+        u_at = jnp.take_along_axis(point_sample(out["u"], coords), part_cls[..., None], axis=-1)[..., 0]
+        v_at = jnp.take_along_axis(point_sample(out["v"], coords), part_cls[..., None], axis=-1)[..., 0]
+        loss_u = (smooth_l1_loss(u_at, gt_u, beta=0.0) * w).sum() / jnp.maximum(w.sum(), 1.0)
+        loss_v = (smooth_l1_loss(v_at, gt_v, beta=0.0) * w).sum() / jnp.maximum(w.sum(), 1.0)
+
+        return {
+            "loss_densepose_I": loss_index * self.part_weight,
+            "loss_densepose_S": loss_coarse * self.index_weight,
+            "loss_densepose_U": loss_u * self.point_regression_weight,
+            "loss_densepose_V": loss_v * self.point_regression_weight,
+        }
+
+    def _forward_densepose_inference(self, feats, detections):
+        B, D = detections["pred_classes"].shape
+        boxes_flat = detections["pred_boxes"].reshape(-1, 4)
+        batch_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), D)
+        pooled = self._pooler(self.densepose_pooler_resolution)(feats, boxes_flat, batch_idx)
+        out = self.densepose_head(pooled, train=False)
+        M = out["fine_segm"].shape[1]
+        # per-pixel part label + its U/V (the chart result format)
+        part = jnp.argmax(out["fine_segm"], axis=-1)  # [R, M, M]
+        u = jnp.take_along_axis(out["u"], part[..., None], axis=-1)[..., 0]
+        v = jnp.take_along_axis(out["v"], part[..., None], axis=-1)[..., 0]
+        fg = jnp.argmax(out["coarse_segm"], axis=-1) > 0
+        part = jnp.where(fg, part, 0)
+        detections["pred_densepose"] = jnp.stack(
+            [part.astype(jnp.float32), jnp.clip(u, 0, 1), jnp.clip(v, 0, 1)], axis=-1
+        ).reshape(B, D, M, M, 3)
+        return detections

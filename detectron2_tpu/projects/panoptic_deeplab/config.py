@@ -1,0 +1,42 @@
+"""Panoptic-DeepLab config keys
+(reference projects/Panoptic-DeepLab/panoptic_deeplab/config.py)."""
+
+from detectron2_tpu.config.cfg_node import CfgNode as CN
+from detectron2_tpu.projects.deeplab import add_deeplab_config
+
+
+def add_panoptic_deeplab_config(cfg):
+    """Add config for Panoptic-DeepLab."""
+    add_deeplab_config(cfg)
+    cfg.MODEL.META_ARCHITECTURE = "PanopticDeepLab"
+
+    # semantic head: DeepLabV3+ decoder with per-pixel weighting near centers
+    cfg.MODEL.SEM_SEG_HEAD.NAME = "PanopticDeepLabSemSegHead"
+    cfg.MODEL.SEM_SEG_HEAD.HEAD_CHANNELS = 256
+    cfg.MODEL.SEM_SEG_HEAD.LOSS_TOP_K = 0.2
+
+    cfg.MODEL.INS_EMBED_HEAD = CN()
+    cfg.MODEL.INS_EMBED_HEAD.NAME = "PanopticDeepLabInsEmbedHead"
+    cfg.MODEL.INS_EMBED_HEAD.IN_FEATURES = ["res2", "res5"]
+    cfg.MODEL.INS_EMBED_HEAD.PROJECT_FEATURES = ["res2"]
+    cfg.MODEL.INS_EMBED_HEAD.PROJECT_CHANNELS = [32]
+    cfg.MODEL.INS_EMBED_HEAD.ASPP_CHANNELS = 256
+    cfg.MODEL.INS_EMBED_HEAD.ASPP_DILATIONS = [6, 12, 18]
+    cfg.MODEL.INS_EMBED_HEAD.ASPP_DROPOUT = 0.1
+    cfg.MODEL.INS_EMBED_HEAD.HEAD_CHANNELS = 32
+    cfg.MODEL.INS_EMBED_HEAD.CONVS_DIM = 128
+    cfg.MODEL.INS_EMBED_HEAD.COMMON_STRIDE = 4
+    cfg.MODEL.INS_EMBED_HEAD.NORM = "SyncBN"
+    cfg.MODEL.INS_EMBED_HEAD.CENTER_LOSS_WEIGHT = 200.0
+    cfg.MODEL.INS_EMBED_HEAD.OFFSET_LOSS_WEIGHT = 0.01
+
+    cfg.MODEL.PANOPTIC_DEEPLAB = CN()
+    cfg.MODEL.PANOPTIC_DEEPLAB.STUFF_AREA = 2048
+    cfg.MODEL.PANOPTIC_DEEPLAB.CENTER_THRESHOLD = 0.1
+    cfg.MODEL.PANOPTIC_DEEPLAB.NMS_KERNEL = 7
+    cfg.MODEL.PANOPTIC_DEEPLAB.TOP_K_INSTANCE = 200
+    # keep the thing-class prediction from the semantic majority vote
+    cfg.MODEL.PANOPTIC_DEEPLAB.PREDICT_INSTANCES = False
+    cfg.MODEL.PANOPTIC_DEEPLAB.USE_DEPTHWISE_SEPARABLE_CONV = False
+    cfg.MODEL.PANOPTIC_DEEPLAB.SIZE_DIVISIBILITY = -1
+    cfg.MODEL.PANOPTIC_DEEPLAB.BENCHMARK_NETWORK_SPEED = False

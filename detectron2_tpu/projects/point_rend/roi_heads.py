@@ -1,0 +1,175 @@
+"""PointRend ROI heads (reference projects/PointRend/point_rend/roi_heads.py +
+mask_head.py PointRendMaskHead).
+
+The mask branch replaces the deconv head with: a coarse 7x7 FC head, a
+training-time point loss at adaptively sampled uncertain points, and an
+inference-time subdivision loop (upsample 2x, refine the N most uncertain
+cells with the point head). All point budgets are static so the whole loop
+compiles once; the loop is unrolled python (subdivision_steps is tiny).
+"""
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from detectron2_tpu.modeling.roi_heads.mask_head import (
+    build_mask_head,
+    mask_rcnn_inference,
+    mask_rcnn_loss,
+)
+from detectron2_tpu.modeling.roi_heads.roi_heads import (
+    ROI_HEADS_REGISTRY,
+    StandardROIHeads,
+    crop_gt_masks_to_proposals,
+    select_foreground_slots,
+)
+from detectron2_tpu.projects.point_rend.point_features import (
+    get_point_coords_wrt_image,
+    get_uncertain_point_coords_on_grid,
+    get_uncertain_point_coords_with_randomness,
+    point_sample,
+    point_sample_fine_grained_features,
+)
+from detectron2_tpu.projects.point_rend.point_head import build_point_head, roi_mask_point_loss
+
+__all__ = ["PointRendROIHeads"]
+
+
+@ROI_HEADS_REGISTRY.register()
+class PointRendROIHeads(StandardROIHeads):
+    """StandardROIHeads with the PointRend mask branch."""
+
+    point_head: Optional[nn.Module] = None
+    point_in_features: Tuple[str, ...] = ("p2",)
+    point_scales: Tuple[float, ...] = (0.25,)
+    train_num_points: int = 196
+    oversample_ratio: int = 3
+    importance_sample_ratio: float = 0.75
+    subdivision_steps: int = 2
+    subdivision_num_points: int = 196
+
+    @classmethod
+    def from_config(cls, cfg, input_shape):
+        base = StandardROIHeads.from_config.__func__(cls, cfg, input_shape)
+        point_in = tuple(cfg.MODEL.POINT_HEAD.IN_FEATURES)
+        # flax modules are frozen dataclasses: clone with the extra fields
+        return base.clone(
+            mask_head=build_mask_head(cfg) if cfg.MODEL.MASK_ON else None,
+            point_head=build_point_head(cfg) if cfg.MODEL.MASK_ON else None,
+            point_in_features=point_in,
+            point_scales=tuple(1.0 / input_shape[f].stride for f in point_in),
+            train_num_points=cfg.MODEL.POINT_HEAD.TRAIN_NUM_POINTS,
+            oversample_ratio=cfg.MODEL.POINT_HEAD.OVERSAMPLE_RATIO,
+            importance_sample_ratio=cfg.MODEL.POINT_HEAD.IMPORTANCE_SAMPLE_RATIO,
+            subdivision_steps=cfg.MODEL.POINT_HEAD.SUBDIVISION_STEPS,
+            subdivision_num_points=cfg.MODEL.POINT_HEAD.SUBDIVISION_NUM_POINTS,
+        )
+
+    def _point_features(self, feats):
+        index_of = {f: i for i, f in enumerate(self.in_features)}
+        return [feats[index_of[f]] for f in self.point_in_features]
+
+    # ----------------------------------------------------------- mask branch
+    def _forward_mask_train(self, feats, sampled, targets):
+        B, S = sampled["gt_classes"].shape
+        Rf = self.fg_budget
+
+        fg_idx, fg_valid = jax.vmap(lambda m: select_foreground_slots(m, Rf))(sampled["is_fg"])
+        fg_boxes = jnp.take_along_axis(sampled["boxes"], fg_idx[..., None], axis=1)
+        fg_cls = jnp.take_along_axis(sampled["gt_classes"], fg_idx, axis=1)
+        fg_gt_idx = jnp.take_along_axis(sampled["gt_idx"], fg_idx, axis=1)
+
+        boxes_flat = fg_boxes.reshape(-1, 4)
+        batch_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), Rf)
+        cls_flat = fg_cls.reshape(-1)
+        valid_flat = fg_valid.reshape(-1)
+
+        pooled = self._pooler(self.mask_pooler_resolution)(feats, boxes_flat, batch_idx)
+        coarse = self.mask_head(pooled, train=True)  # [R, side, side, C]
+        side = coarse.shape[1]
+
+        gt_coarse = jax.vmap(
+            lambda m, b, i, p: crop_gt_masks_to_proposals(m, b, i, p, side)
+        )(targets["gt_masks"], targets["gt_boxes"], fg_gt_idx, fg_boxes)
+        loss_mask = mask_rcnn_loss(
+            coarse, cls_flat, gt_coarse.reshape(-1, side, side), valid_flat
+        )
+
+        # adaptive point sampling on the (non-differentiable) coarse prediction
+        rng = self.make_rng("sampling")
+        coords = get_uncertain_point_coords_with_randomness(
+            rng,
+            jax.lax.stop_gradient(coarse),
+            cls_flat,
+            self.train_num_points,
+            self.oversample_ratio,
+            self.importance_sample_ratio,
+        )  # [R, P, 2] box-relative
+
+        fine, abs_coords = point_sample_fine_grained_features(
+            self._point_features(feats), self.point_scales, boxes_flat, batch_idx, coords
+        )
+        coarse_at = point_sample(coarse, coords)
+        point_logits = self.point_head(fine, coarse_at, train=True)
+
+        # gt labels at the sampled points: map image-absolute points into each
+        # matched gt's mask-crop frame and bilinear-sample its bitmask
+        gt_masks_sel = jnp.take_along_axis(
+            targets["gt_masks"], fg_gt_idx[..., None, None], axis=1
+        ).reshape(B * Rf, *targets["gt_masks"].shape[2:])
+        gt_boxes_sel = jnp.take_along_axis(
+            targets["gt_boxes"], fg_gt_idx[..., None], axis=1
+        ).reshape(-1, 4)
+        gx0, gy0 = gt_boxes_sel[:, 0], gt_boxes_sel[:, 1]
+        gw = jnp.maximum(gt_boxes_sel[:, 2] - gx0, 1e-4)
+        gh = jnp.maximum(gt_boxes_sel[:, 3] - gy0, 1e-4)
+        norm = jnp.stack(
+            [
+                (abs_coords[..., 0] - gx0[:, None]) / gw[:, None],
+                (abs_coords[..., 1] - gy0[:, None]) / gh[:, None],
+            ],
+            axis=-1,
+        )
+        gt_points = (point_sample(gt_masks_sel[..., None], norm)[..., 0] >= 0.5).astype(
+            jnp.float32
+        )
+        loss_point = roi_mask_point_loss(point_logits, cls_flat, gt_points, valid_flat)
+        return {"loss_mask": loss_mask, "loss_mask_point": loss_point}
+
+    def _forward_mask_inference(self, feats, detections):
+        B, D = detections["pred_classes"].shape
+        boxes_flat = detections["pred_boxes"].reshape(-1, 4)
+        batch_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), D)
+        classes = detections["pred_classes"].reshape(-1)
+
+        pooled = self._pooler(self.mask_pooler_resolution)(feats, boxes_flat, batch_idx)
+        coarse = self.mask_head(pooled, train=False)  # [R, side, side, C]
+        C = coarse.shape[-1]
+        cls_idx = jnp.clip(classes, 0, C - 1).astype(jnp.int32)
+
+        logits = coarse
+        for _ in range(self.subdivision_steps):
+            R, H, W, _ = logits.shape
+            logits = jax.image.resize(logits, (R, H * 2, W * 2, C), method="bilinear")
+            if C == 1:
+                sel = logits[..., 0]
+            else:
+                sel = jnp.take_along_axis(logits, cls_idx[:, None, None, None], axis=-1)[..., 0]
+            idx, coords = get_uncertain_point_coords_on_grid(
+                -jnp.abs(sel), self.subdivision_num_points
+            )
+            fine, _ = point_sample_fine_grained_features(
+                self._point_features(feats), self.point_scales, boxes_flat, batch_idx, coords
+            )
+            coarse_at = point_sample(coarse, coords)
+            point_logits = self.point_head(fine, coarse_at, train=False)  # [R, N, C]
+            flat = logits.reshape(R, -1, C)
+            flat = flat.at[jnp.arange(R)[:, None], idx].set(point_logits)
+            logits = flat.reshape(R, H * 2, W * 2, C)
+
+        probs = mask_rcnn_inference(logits, classes)
+        M = probs.shape[-1]
+        detections["pred_masks"] = probs.reshape(B, D, M, M)
+        return detections

@@ -6,9 +6,12 @@ imported before any test module imports jax.
 
 import os
 
-# FORCE cpu (the surrounding environment may export JAX_PLATFORMS=axon/tpu;
-# the axon plugin ignores JAX_PLATFORMS, so the legacy JAX_PLATFORM_NAME is
-# the override that actually works)
+# FORCE cpu. The environment imports jax (and the axon TPU plugin) at
+# interpreter startup via a .pth hook, so mutating JAX_PLATFORMS here is too
+# late — only jax.config.update still takes effect (backends are initialized
+# lazily on first use, which is after conftest). Without this, the whole
+# suite silently runs against the single tunneled TPU chip and fails with
+# FAILED_PRECONDITION contention errors.
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
 prev = os.environ.get("XLA_FLAGS", "")
@@ -16,6 +19,12 @@ if "xla_force_host_platform_device_count" not in prev:
     os.environ["XLA_FLAGS"] = (prev + " --xla_force_host_platform_device_count=8").strip()
 # keep compilation fast & deterministic in tests
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert len(jax.devices()) == 8, jax.devices()
 
 
 import pytest

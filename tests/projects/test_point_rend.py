@@ -1,0 +1,104 @@
+"""PointRend project tests: point sampling math + e2e Mask R-CNN with
+PointRendROIHeads."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from detectron2_tpu.config import get_cfg
+from detectron2_tpu.modeling import build_model
+from detectron2_tpu.projects.point_rend import add_pointrend_config
+from detectron2_tpu.projects.point_rend.point_features import (
+    get_uncertain_point_coords_on_grid,
+    point_sample,
+)
+
+
+def test_point_sample_matches_manual_bilinear():
+    rng = np.random.RandomState(0)
+    x = rng.rand(2, 8, 8, 3).astype(np.float32)
+    # exact pixel centers must return the pixel values
+    ys, xs = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    coords = np.stack([(xs.ravel() + 0.5) / 8, (ys.ravel() + 0.5) / 8], -1)[None]
+    coords = np.repeat(coords, 2, 0).astype(np.float32)
+    out = np.asarray(point_sample(jnp.asarray(x), jnp.asarray(coords)))
+    np.testing.assert_allclose(out.reshape(2, 8, 8, 3), x, rtol=1e-5, atol=1e-5)
+
+    # midpoint between two pixel centers = their average
+    mid = jnp.asarray([[[1.0 / 8, 0.5 / 8]]])  # between x=0 (ctr 0.5/8) and x=1 (ctr 1.5/8)
+    v = np.asarray(point_sample(jnp.asarray(x[:1]), mid))[0, 0]
+    np.testing.assert_allclose(v, 0.5 * (x[0, 0, 0] + x[0, 0, 1]), rtol=1e-5)
+
+
+def test_uncertain_point_coords_on_grid():
+    unc = np.full((1, 4, 4), -10.0, np.float32)
+    unc[0, 2, 3] = 0.0  # most certain... highest value = picked first by top_k
+    unc[0, 1, 1] = -1.0
+    idx, coords = get_uncertain_point_coords_on_grid(jnp.asarray(unc), 2)
+    idx = np.asarray(idx)[0]
+    assert idx[0] == 2 * 4 + 3 and idx[1] == 1 * 4 + 1
+    np.testing.assert_allclose(np.asarray(coords)[0, 0], [(3 + 0.5) / 4, (2 + 0.5) / 4])
+
+
+def _pointrend_cfg():
+    cfg = get_cfg()
+    add_pointrend_config(cfg)
+    cfg.MODEL.META_ARCHITECTURE = "GeneralizedRCNN"
+    cfg.MODEL.BACKBONE.NAME = "build_resnet_fpn_backbone"
+    cfg.MODEL.RESNETS.DEPTH = 18
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 64
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.FPN.IN_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[32], [64], [128], [256], [512]]
+    cfg.MODEL.RPN.IN_FEATURES = ["p2", "p3", "p4", "p5", "p6"]
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 64
+    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 32
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 64
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 32
+    cfg.MODEL.ROI_HEADS.IN_FEATURES = ["p2", "p3", "p4", "p5"]
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 4
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 16
+    cfg.MODEL.ROI_BOX_HEAD.NUM_FC = 1
+    cfg.MODEL.MASK_ON = True
+    cfg.MODEL.POINT_HEAD.NUM_CLASSES = 4
+    cfg.MODEL.POINT_HEAD.TRAIN_NUM_POINTS = 16
+    cfg.MODEL.POINT_HEAD.SUBDIVISION_NUM_POINTS = 16
+    cfg.MODEL.ROI_MASK_HEAD.FC_DIM = 64
+    cfg.TEST.DETECTIONS_PER_IMAGE = 8
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    return cfg
+
+
+def test_pointrend_rcnn_train_and_infer():
+    cfg = _pointrend_cfg()
+    model = build_model(cfg)
+
+    rng = np.random.RandomState(0)
+    G = 4
+    xy = rng.rand(1, G, 2) * 24
+    wh = rng.rand(1, G, 2) * 20 + 8
+    batch = {
+        "image": jnp.asarray(rng.randint(0, 255, (1, 64, 64, 3)).astype(np.float32)),
+        "image_sizes": jnp.asarray([[64, 64]], jnp.int32),
+        "gt_boxes": jnp.asarray(np.concatenate([xy, xy + wh], -1).astype(np.float32)),
+        "gt_classes": jnp.asarray(rng.randint(0, 4, (1, G)).astype(np.int32)),
+        "gt_valid": jnp.ones((1, G), bool),
+        "gt_masks": jnp.asarray((rng.rand(1, G, 28, 28) > 0.5).astype(np.float32)),
+    }
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)}, batch, train=True
+    )
+    losses = model.apply(
+        variables, batch, train=True, rngs={"sampling": jax.random.PRNGKey(2)}
+    )
+    for key in ["loss_mask", "loss_mask_point", "loss_cls", "loss_rpn_cls"]:
+        assert key in losses, losses.keys()
+        assert np.isfinite(float(losses[key])), key
+
+    det = model.apply(
+        variables, {"image": batch["image"], "image_sizes": batch["image_sizes"]}, train=False
+    )
+    # 7 -> 14 -> 28 subdivision
+    assert det["pred_masks"].shape == (1, 8, 28, 28)
+    assert np.isfinite(np.asarray(det["pred_masks"])).all()
