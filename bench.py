@@ -41,6 +41,9 @@ def main():
     cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION = 14
     cfg.MODEL.MASK_ON = True
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    # end-to-end: materialize full-frame pasted masks on device, like the
+    # reference's forward() does (its published 0.043 s/im includes the paste)
+    cfg.TPU.PASTE_MASKS_IN_GRAPH = True
 
     model = build_model(cfg)
 
@@ -60,10 +63,22 @@ def main():
 
     fwd = jax.jit(lambda p, b: model.apply(p, b, train=False))
 
+    import jax.numpy as _jnp
+
+    @jax.jit
+    def _digest(o):
+        # tiny on-device reduction touching every output so sync forces the
+        # whole graph to have executed. pred_masks_full is a jit OUTPUT, so
+        # it is fully materialized in HBM regardless; strided sampling keeps
+        # the digest itself from re-reading the 1.7GB buffer.
+        m = o["pred_masks_full"][:, :, ::37, ::53]
+        return o["scores"].sum() + m.sum(dtype=_jnp.int32).astype(_jnp.float32)
+
     def sync(o):
-        # force a real device->host readback (block_until_ready alone can be
-        # a no-op through remote-execution tunnels)
-        return float(np.asarray(o["scores"]).sum())
+        # force a real device->host readback of a SMALL array
+        # (block_until_ready alone can be a no-op through remote-execution
+        # tunnels, and bulk readback crawls at ~20MB/s there)
+        return float(np.asarray(_digest(o)))
 
     # warmup / compile
     out = fwd(params, batch)

@@ -1,0 +1,10 @@
+"""Mask R-CNN R50-C4 1x (lazy; analogue of reference
+COCO-InstanceSegmentation/mask_rcnn_R_50_C4_1x.py)."""
+
+from ..common.coco_schedule import lr_multiplier_1x as lr_multiplier  # noqa
+from ..common.data.coco import dataloader  # noqa
+from ..common.models.mask_rcnn_c4 import model  # noqa
+from ..common.optim import SGD as optimizer  # noqa
+from ..common.train import train  # noqa
+
+train.init_checkpoint = "detectron2://ImageNetPretrained/MSRA/R-50.pkl"

@@ -1,0 +1,40 @@
+"""Mask R-CNN RegNetY-4GF 1x (analogue of reference
+COCO-InstanceSegmentation/mask_rcnn_regnety_4gf_dds_fpn_1x.py)."""
+
+from detectron2_tpu.config import LazyCall as L, get_cfg
+from detectron2_tpu.modeling import GeneralizedRCNN
+from detectron2_tpu.modeling.backbone import FPN, LastLevelMaxPool
+from detectron2_tpu.modeling.backbone.regnet import RegNet
+
+from ..common.coco_schedule import lr_multiplier_1x as lr_multiplier  # noqa
+from ..common.data.coco import dataloader  # noqa
+from ..common.optim import SGD as optimizer  # noqa
+from ..common.train import train  # noqa
+
+
+def build_regnet_rcnn():
+    cfg = get_cfg()
+    cfg.MODEL.MASK_ON = True
+    cfg.MODEL.PIXEL_STD = [57.375, 57.120, 58.395]
+    cfg.MODEL.RPN.IN_FEATURES = ["p2", "p3", "p4", "p5", "p6"]
+    cfg.MODEL.ROI_HEADS.NAME = "StandardROIHeads"
+    cfg.MODEL.ROI_HEADS.IN_FEATURES = ["p2", "p3", "p4", "p5"]
+    cfg.MODEL.ROI_BOX_HEAD.NUM_FC = 2
+    base = GeneralizedRCNN.from_config(cfg)
+    bottom_up = RegNet(
+        w_a=31.41, w_0=96, w_m=2.24, depth=22, group_width=64,
+        se_ratio=0.25, norm="FrozenBN",
+        out_features=("s1", "s2", "s3", "s4"),
+    )
+    backbone = FPN(
+        bottom_up=bottom_up,
+        in_features=("s1", "s2", "s3", "s4"),
+        out_channels=256,
+        top_block=LastLevelMaxPool(),
+    )
+    return base.clone(backbone=backbone)
+
+
+model = L(build_regnet_rcnn)()
+
+train.init_checkpoint = "detectron2://ImageNetPretrained/regnety_4gf.pkl"

@@ -34,6 +34,18 @@ _SEGMENT_RENAMES = {
 }
 
 
+def _path_entry_str(p) -> str:
+    """Stringify one jax key-path entry: DictKey has .key, GetAttrKey has
+    .name, SequenceKey has .idx (str(p) would yield '.step'/'[0]' forms)."""
+    if hasattr(p, "key"):
+        return str(p.key)
+    if hasattr(p, "name"):
+        return str(p.name)
+    if hasattr(p, "idx"):
+        return str(p.idx)
+    return str(p)
+
+
 def flax_path_to_d2_name(path: Tuple[str, ...]) -> str:
     """Map a flax param path (tuple of scope names + leaf) to a d2 dotted name."""
     segs: List[str] = []
@@ -100,12 +112,11 @@ def convert_d2_state_dict(state_dict: Dict[str, Any], params) -> Tuple[Any, str]
     mismatched: List[str] = []
     new_leaves = []
     for path, leaf in flat:
-        keys = tuple(p.key if hasattr(p, "key") else str(p) for p in path)
-        # drop collection roots like 'params' / 'batch_stats'
-        if keys and keys[0] in ("params", "batch_stats", "frozen"):
-            name_keys = keys[1:]
-        else:
-            name_keys = keys
+        keys = tuple(_path_entry_str(p) for p in path)
+        # drop flax collection roots ('params' / 'batch_stats') wherever they
+        # appear — the target may be a bare variables dict or nested inside a
+        # holder object whose attr paths come first
+        name_keys = tuple(k for k in keys if k not in ("params", "batch_stats", "frozen"))
         d2_name = flax_path_to_d2_name(name_keys)
         if d2_name in state_dict:
             try:

@@ -81,9 +81,21 @@ class Checkpointer:
             with open(path, "rb") as f:
                 data = pickle.load(f, encoding="latin1")
             state_dict = data.get("model", data)
-            new_params, report = convert_d2_state_dict(state_dict, self.params)
-            self.params = new_params
+            # When holding a TrainState (DefaultTrainer), convert into the
+            # model-variables subtree only — opt_state/step must not be fed
+            # through the name mapper — and write it back via .replace.
+            holder = self.params
+            if hasattr(holder, "params") and hasattr(holder, "replace"):
+                new_vars, report = convert_d2_state_dict(state_dict, holder.params)
+                self.params = holder.replace(params=new_vars)
+            else:
+                self.params, report = convert_d2_state_dict(state_dict, holder)
             logger.info(report)
+            if report.startswith("Loaded 0/"):
+                raise RuntimeError(
+                    f"d2 checkpoint {path} matched 0 parameter tensors — the "
+                    f"name mapping failed; refusing to train from random init.\n{report}"
+                )
             return {}
 
         with open(path, "rb") as f:

@@ -333,3 +333,9 @@ _C.TPU.SIZE_BUCKET = 32
 _C.TPU.FIXED_TEST_SIZE = 0
 # persistent XLA compilation cache directory ("" = disabled)
 _C.TPU.COMPILE_CACHE = ""
+# paste 28x28 roi masks into full network-frame masks inside the compiled
+# eval graph (bool [B, D, H, W] output). Keeps mask materialization on-device
+# (MXU separable paste, ops/paste_masks.py) instead of the host; the COCO
+# evaluator still pastes at the true original resolution for exact reference
+# semantics (layers/mask_ops.py:74-147).
+_C.TPU.PASTE_MASKS_IN_GRAPH = False

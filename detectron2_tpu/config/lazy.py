@@ -109,7 +109,15 @@ class LazyCall:
         if isinstance(self._target, (str, abc.Mapping)):
             target = self._target
         else:
-            target = _convert_target_to_string(self._target)
+            # Functions defined inside a config file (exec'd in a synthetic
+            # module) have no importable dotted name — keep the callable
+            # itself; instantiate() accepts callables, and LazyConfig.save
+            # falls back to pickle for them (same behavior as the reference's
+            # omegaconf-backed LazyCall).
+            try:
+                target = _convert_target_to_string(self._target)
+            except Exception:
+                target = self._target
         kwargs["_target_"] = target
         return DictConfig(init=kwargs, flags={"allow_objects": True})
 

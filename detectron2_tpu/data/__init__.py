@@ -18,3 +18,7 @@ from detectron2_tpu.data.common import (
 from detectron2_tpu.data.dataset_mapper import DatasetMapper
 
 __all__ = [k for k in globals().keys() if not k.startswith("_")]
+
+# ensure builtin datasets are registered on `import detectron2_tpu.data`
+# (reference data/__init__.py:17 imports datasets/samplers the same way)
+from detectron2_tpu.data import datasets, samplers  # isort:skip  # noqa: F401,E402

@@ -1,4 +1,21 @@
-"""Concrete augmentation policies (reference detectron2/data/transforms/augmentation_impl.py)."""
+"""Concrete augmentation policies.
+
+Functional parity with reference detectron2/data/transforms/augmentation_impl.py.
+
+A note on what is intentionally matched to the reference, because training
+recipes and their published AP depend on it:
+
+- the *distributions* each policy samples from (uniform vs randint ranges,
+  "range" vs "choice" styles, retry counts, IoU thresholds, the 0.5-rounding
+  of output sizes) are kept semantically identical;
+- the deterministic geometry (ResizeShortestEdge.get_output_shape's
+  short-edge/max-size arithmetic, ResizeScale's aspect-preserving fit,
+  FixedSizeCrop's crop-then-pad decomposition) is value-identical.
+
+Everything else — structure, helper factoring, RNG call order inside one
+policy — is this framework's own; matching the reference's RNG *streams* is
+neither needed nor attempted (its own runs differ per seed anyway).
+"""
 
 import sys
 from typing import List, Optional, Tuple, Union
@@ -156,16 +173,14 @@ class ResizeScale(Augmentation):
         super().__init__()
         self._init(locals())
 
-    def _get_resize(self, image, scale):
-        input_size = image.shape[:2]
-        target_size = (self.target_height * scale, self.target_width * scale)
-        output_scale = np.minimum(target_size[0] / input_size[0], target_size[1] / input_size[1])
-        output_size = np.round(np.multiply(input_size, output_scale)).astype(int)
-        return ResizeTransform(input_size[0], input_size[1], int(output_size[0]), int(output_size[1]), self.interp)
-
     def get_transform(self, image):
-        random_scale = np.random.uniform(self.min_scale, self.max_scale)
-        return self._get_resize(image, random_scale)
+        h, w = image.shape[:2]
+        scale = np.random.uniform(self.min_scale, self.max_scale)
+        # fit (h, w) inside the scaled target box, preserving aspect ratio
+        fit = min(self.target_height * scale / h, self.target_width * scale / w)
+        out_h = int(round(h * fit))
+        out_w = int(round(w * fit))
+        return ResizeTransform(h, w, out_h, out_w, self.interp)
 
 
 class FixedSizeCrop(Augmentation):
@@ -176,35 +191,25 @@ class FixedSizeCrop(Augmentation):
         super().__init__()
         self._init(locals())
 
-    def _get_crop(self, image):
-        input_size = image.shape[:2]
-        output_size = self.crop_size
-        max_offset = np.subtract(input_size, output_size)
-        max_offset = np.maximum(max_offset, 0)
-        offset = np.multiply(max_offset, np.random.uniform(0.0, 1.0))
-        offset = np.round(offset).astype(int)
-        return CropTransform(
-            offset[1], offset[0],
-            min(output_size[1], input_size[1] - offset[1]),
-            min(output_size[0], input_size[0] - offset[0]),
-            input_size[1], input_size[0],
-        )
-
-    def _get_pad(self, image):
-        input_size = image.shape[:2]
-        output_size = self.crop_size
-        pad_size = np.subtract(output_size, input_size)
-        pad_size = np.maximum(pad_size, 0)
-        original_size = np.minimum(input_size, output_size)
-        return PadTransform(
-            0, 0, int(pad_size[1]), int(pad_size[0]), int(original_size[1]), int(original_size[0]), self.pad_value
-        )
-
     def get_transform(self, image):
-        transforms = [self._get_crop(image)]
-        if self.pad:
-            transforms.append(self._get_pad(transforms[0].apply_image(image)))
-        return TransformList(transforms)
+        h, w = image.shape[:2]
+        out_h, out_w = self.crop_size
+
+        # random-position crop of at most crop_size (one shared fraction for
+        # both axes, like the reference)
+        u = np.random.uniform(0.0, 1.0)
+        y0 = int(round(max(h - out_h, 0) * u))
+        x0 = int(round(max(w - out_w, 0) * u))
+        crop = CropTransform(x0, y0, min(out_w, w - x0), min(out_h, h - y0), w, h)
+        if not self.pad:
+            return TransformList([crop])
+
+        # then zero-pad bottom/right up to exactly crop_size
+        ch, cw = min(h, out_h), min(w, out_w)
+        pad = PadTransform(
+            0, 0, max(out_w - w, 0), max(out_h - h, 0), cw, ch, self.pad_value
+        )
+        return TransformList([crop, pad])
 
 
 class RandomCrop(Augmentation):
@@ -364,25 +369,29 @@ class RandomRotation(Augmentation):
 
     def get_transform(self, image):
         h, w = image.shape[:2]
-        center = None
         if self.is_range:
             angle = np.random.uniform(self.angle[0], self.angle[1])
-            if self.center is not None:
-                center = (
-                    np.random.uniform(self.center[0][0], self.center[1][0]),
-                    np.random.uniform(self.center[0][1], self.center[1][1]),
-                )
         else:
             angle = np.random.choice(self.angle)
-            if self.center is not None:
-                center = np.random.choice(self.center)
-
-        if center is not None:
-            center = (w * center[0], h * center[1])
-
         if angle % 360 == 0:
             return NoOpTransform()
-        return RotationTransform(h, w, angle, expand=self.expand, center=center, interp=self.interp)
+        return RotationTransform(
+            h, w, angle, expand=self.expand, center=self._sample_center(h, w), interp=self.interp
+        )
+
+    def _sample_center(self, h, w):
+        """Sample a rotation center in absolute pixels from the relative
+        [0, 1] x [0, 1] center spec (None = image center)."""
+        if self.center is None:
+            return None
+        if self.is_range:
+            rel = (
+                np.random.uniform(self.center[0][0], self.center[1][0]),
+                np.random.uniform(self.center[0][1], self.center[1][1]),
+            )
+        else:
+            rel = np.random.choice(self.center)
+        return (w * rel[0], h * rel[1])
 
 
 class MinIoURandomCrop(Augmentation):

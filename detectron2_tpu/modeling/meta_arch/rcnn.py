@@ -40,6 +40,7 @@ class GeneralizedRCNN(nn.Module):
     input_format: str = "BGR"
     compute_dtype: str = "bfloat16"
     vis_period: int = 0
+    mask_paste_in_graph: bool = False
 
     @classmethod
     def from_config(cls, cfg):
@@ -53,6 +54,7 @@ class GeneralizedRCNN(nn.Module):
             input_format=cfg.INPUT.FORMAT,
             compute_dtype=cfg.TPU.COMPUTE_DTYPE,
             vis_period=cfg.VIS_PERIOD,
+            mask_paste_in_graph=cfg.TPU.PASTE_MASKS_IN_GRAPH,
         )
 
     def preprocess_image(self, image: jnp.ndarray) -> jnp.ndarray:
@@ -76,6 +78,21 @@ class GeneralizedRCNN(nn.Module):
         images = self.preprocess_image(batch["image"])
         image_sizes = batch["image_sizes"]
         features = self.backbone(images, train=train)
+
+        if not train and "given_boxes" in batch:
+            # Inference on externally provided detection boxes: skip RPN and
+            # the box branch, run only mask/keypoint heads (the reference's
+            # `inference(detected_instances=...)` path used by TTA,
+            # rcnn.py:178-208 + test_time_augmentation.py:228).
+            detections = {
+                "pred_boxes": batch["given_boxes"],
+                "pred_classes": batch["given_classes"],
+                "scores": batch.get(
+                    "given_scores", jnp.ones(batch["given_classes"].shape, jnp.float32)
+                ),
+                "valid": batch["given_valid"],
+            }
+            return self.roi_heads.forward_with_given_boxes(features, detections)
 
         gt_boxes = batch.get("gt_boxes")
         gt_valid = batch.get("gt_valid")
@@ -109,6 +126,16 @@ class GeneralizedRCNN(nn.Module):
             losses.update(detector_losses)
             losses.update(proposal_losses)
             return losses
+
+        if self.mask_paste_in_graph and "pred_masks" in detections:
+            # Materialize full network-frame masks on device (reference
+            # _postprocess pastes on the accelerator too, mask_ops.py:74).
+            from detectron2_tpu.ops.paste_masks import paste_masks_in_image
+
+            H, W = images.shape[1], images.shape[2]
+            detections["pred_masks_full"] = jax.vmap(
+                lambda m, b: paste_masks_in_image(m, b, (H, W), fast=True, chunk=20)
+            )(detections["pred_masks"], detections["pred_boxes"])
         return detections
 
 

@@ -4,8 +4,10 @@ Parity with reference detectron2/modeling/postprocessing.py:9-100. Runs on the
 host: the device step produces fixed-shape detections in the (resized, padded)
 network frame; this converts one image's slice into a dynamic host
 :class:`Instances` at the original (height, width), pasting 28x28 roi masks
-with cv2 (the same per-box paste as the reference's CPU path,
-layers/mask_ops.py:155 paste_mask_in_image_old).
+with a vectorized separable resampling (the reference's GPU paste semantics,
+layers/mask_ops.py:17-147). The compiled graph can also paste at the network
+frame on device (TPU.PASTE_MASKS_IN_GRAPH); the original-resolution paste
+stays here because original sizes are dynamic per image.
 """
 
 from typing import Dict, Optional
@@ -17,29 +19,45 @@ from detectron2_tpu.structures import Boxes, Instances
 __all__ = ["detector_postprocess", "sem_seg_postprocess"]
 
 
-def _paste_mask_np(mask: np.ndarray, box: np.ndarray, height: int, width: int, threshold: float = 0.5) -> np.ndarray:
-    """Paste one M x M mask probability map into an image-sized bool mask."""
-    import cv2
+def _interp_matrix_np(starts: np.ndarray, ends: np.ndarray, out_size: int, M: int) -> np.ndarray:
+    """Per-instance bilinear sampling matrices [N, out_size, M] — the numpy
+    twin of ops/paste_masks._interp_matrix (grid_sample align_corners=False +
+    zero padding), so host and device pastes agree bit-for-bit."""
+    N = starts.shape[0]
+    i = np.arange(out_size, dtype=np.float32)[None, :]
+    length = np.maximum(ends - starts, 1e-4)[:, None].astype(np.float32)
+    p = (i + 0.5 - starts[:, None].astype(np.float32)) / length * M - 0.5
+    m0 = np.floor(p)
+    frac = p - m0
+    m0i = m0.astype(np.int64)
+    m1i = m0i + 1
+    w0 = ((1.0 - frac) * ((m0i >= 0) & (m0i < M))).astype(np.float32)
+    w1 = (frac * ((m1i >= 0) & (m1i < M))).astype(np.float32)
+    W = np.zeros((N, out_size, M), np.float32)
+    n_idx = np.arange(N)[:, None]
+    r_idx = np.arange(out_size)[None, :]
+    np.add.at(W, (n_idx, r_idx, np.clip(m0i, 0, M - 1)), w0)
+    np.add.at(W, (n_idx, r_idx, np.clip(m1i, 0, M - 1)), w1)
+    return W
 
-    x0, y0, x1, y1 = box
-    ix0 = max(int(np.floor(x0)), 0)
-    iy0 = max(int(np.floor(y0)), 0)
-    ix1 = min(int(np.ceil(x1)), width)
-    iy1 = min(int(np.ceil(y1)), height)
-    out = np.zeros((height, width), dtype=bool)
-    if ix1 <= ix0 or iy1 <= iy0:
-        return out
-    M = mask.shape[0]
-    # sample the mask at the centers of the integer pixels inside the box,
-    # using the same align_corners=False mapping as the device paste
-    ys = (np.arange(iy0, iy1) + 0.5 - y0) / max(y1 - y0, 1e-4) * M - 0.5
-    xs = (np.arange(ix0, ix1) + 0.5 - x0) / max(x1 - x0, 1e-4) * M - 0.5
-    map_x, map_y = np.meshgrid(xs.astype(np.float32), ys.astype(np.float32))
-    patch = cv2.remap(
-        mask.astype(np.float32), map_x, map_y, interpolation=cv2.INTER_LINEAR, borderMode=cv2.BORDER_CONSTANT
-    )
-    out[iy0:iy1, ix0:ix1] = patch >= threshold
-    return out
+
+def _paste_masks_np(
+    masks: np.ndarray, boxes: np.ndarray, height: int, width: int, threshold: float = 0.5
+) -> np.ndarray:
+    """Paste [N, M, M] mask probabilities into [N, height, width] bool masks.
+
+    Vectorized separable formulation (out = Wy @ mask @ Wx^T per instance) —
+    the reference's GPU `_do_paste_mask` semantics (mask_ops.py:17-69), not
+    the integer-cropped CPU `paste_mask_in_image_old` variant.
+    """
+    N, M, _ = masks.shape
+    if N == 0:
+        return np.zeros((0, height, width), dtype=bool)
+    wy = _interp_matrix_np(boxes[:, 1], boxes[:, 3], height, M)  # [N, H, M]
+    wx = _interp_matrix_np(boxes[:, 0], boxes[:, 2], width, M)  # [N, W, M]
+    tmp = np.einsum("nhm,nmk->nhk", wy, masks.astype(np.float32))
+    probs = np.einsum("nhk,nwk->nhw", tmp, wx)
+    return probs >= threshold
 
 
 def detector_postprocess(
@@ -80,12 +98,7 @@ def detector_postprocess(
 
     if "pred_masks" in results:
         roi_masks = np.asarray(results["pred_masks"], np.float32)[valid]
-        masks = np.stack(
-            [
-                _paste_mask_np(m, b, output_height, output_width, mask_threshold)
-                for m, b in zip(roi_masks, boxes)
-            ]
-        ) if len(roi_masks) else np.zeros((0, output_height, output_width), bool)
+        masks = _paste_masks_np(roi_masks, boxes, output_height, output_width, mask_threshold)
         from detectron2_tpu.structures import BitMasks
 
         out.pred_masks = BitMasks(masks)
@@ -97,7 +110,10 @@ def detector_postprocess(
             kpts[..., 1] *= scale_y
         from detectron2_tpu.structures import Keypoints
 
-        # (x, y, logit, prob) -> keep (x, y, prob) for the standard 3-tuple
+        # (x, y, logit, prob) -> keep (x, y, prob), matching the reference's
+        # keypoint_results[:, :, [0, 1, 3]] (keypoint_head.py:123)
+        if kpts.ndim == 3 and kpts.shape[-1] == 4:
+            kpts = kpts[..., [0, 1, 3]]
         out.pred_keypoints = kpts
 
     return out

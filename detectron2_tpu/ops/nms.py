@@ -14,8 +14,10 @@ tiny sequential steps:
    pure data-parallel), then self-suppressed with a Jacobi fixed-point
    iteration of the greedy recurrence (converges in at most the suppression
    chain depth; a `lax.while_loop` runs it to the exact fixed point).
-3. Suppressed boxes are zeroed; zero-area boxes can never suppress others, so
-   padding rows are inert.
+3. Suppressed boxes are zeroed (so they can never suppress others — zero-area
+   boxes have IoU 0 with everything, making padding rows inert), while
+   survival itself is tracked by an explicit alive mask, so VALID zero-area
+   boxes are kept exactly like torchvision NMS keeps them.
 
 The result is bit-identical to sequential greedy NMS. All shapes are static;
 everything vmaps over leading batch dims.
@@ -70,8 +72,15 @@ def _self_suppress_tile(tile_boxes: jnp.ndarray, iou_threshold: float) -> jnp.nd
     return alive
 
 
-def _nms_sorted(boxes_sorted: jnp.ndarray, iou_threshold: float, tile: int) -> jnp.ndarray:
-    """Greedy NMS on score-sorted boxes; invalid boxes must already be zeroed.
+def _nms_sorted(
+    boxes_sorted: jnp.ndarray, alive_init: jnp.ndarray, iou_threshold: float, tile: int
+) -> jnp.ndarray:
+    """Greedy NMS on score-sorted boxes; invalid boxes must already be zeroed
+    and marked dead in `alive_init`.
+
+    Survival is tracked with an explicit alive mask (not inferred from box
+    area), so valid zero-area boxes are kept like torchvision NMS keeps them
+    (their IoU with everything is 0).
 
     Returns:
         alive: bool [K] in sorted order.
@@ -81,25 +90,28 @@ def _nms_sorted(boxes_sorted: jnp.ndarray, iou_threshold: float, tile: int) -> j
     num_tiles = K // tile
 
     def row_step(i, state):
-        boxes = state  # [K, 4]; suppressed boxes zeroed
+        boxes, alive = state  # [K, 4] with suppressed boxes zeroed; [K] bool
 
         row = lax.dynamic_slice(boxes, (i * tile, 0), (tile, 4))
+        row_alive = lax.dynamic_slice(alive, (i * tile,), (tile,))
 
-        def cross_step(j, row):
+        def cross_step(j, carry):
+            row, row_alive = carry
             col = lax.dynamic_slice(boxes, (j * tile, 0), (tile, 4))
             iou = _pairwise_iou_xyxy(row, col)  # [T(row), T(col)]
             killed = jnp.any(iou > iou_threshold, axis=1)
-            return row * (~killed[:, None]).astype(row.dtype)
+            row_alive = row_alive & ~killed
+            return row * (~killed[:, None]).astype(row.dtype), row_alive
 
-        row = lax.fori_loop(0, i, cross_step, row)
-        alive = _self_suppress_tile(row, iou_threshold)
-        row = row * alive[:, None].astype(row.dtype)
+        row, row_alive = lax.fori_loop(0, i, cross_step, (row, row_alive))
+        row_alive = row_alive & _self_suppress_tile(row, iou_threshold)
+        row = row * row_alive[:, None].astype(row.dtype)
         boxes = lax.dynamic_update_slice(boxes, row, (i * tile, 0))
-        return boxes
+        alive = lax.dynamic_update_slice(alive, row_alive, (i * tile,))
+        return boxes, alive
 
-    boxes_out = lax.fori_loop(0, num_tiles, row_step, boxes_sorted)
-    area = (boxes_out[:, 2] - boxes_out[:, 0]) * (boxes_out[:, 3] - boxes_out[:, 1])
-    return area > 0
+    _, alive = lax.fori_loop(0, num_tiles, row_step, (boxes_sorted, alive_init))
+    return alive
 
 
 def nms_padded(
@@ -134,12 +146,13 @@ def nms_padded(
 
     t = min(tile, K)
     pad = (-K) % t
+    alive_init = valid_sorted
     if pad:
         boxes_sorted = jnp.concatenate(
             [boxes_sorted, jnp.zeros((pad, 4), boxes_sorted.dtype)], axis=0
         )
-    alive_sorted = _nms_sorted(boxes_sorted, iou_threshold, t)[:K]
-    alive_sorted = alive_sorted & valid_sorted
+        alive_init = jnp.concatenate([alive_init, jnp.zeros((pad,), bool)])
+    alive_sorted = _nms_sorted(boxes_sorted, alive_init, iou_threshold, t)[:K]
 
     keep = jnp.zeros((K,), dtype=bool).at[order].set(alive_sorted)
     return keep

@@ -231,10 +231,16 @@ def roi_align_pallas_multilevel(
         Wp = ((W + 7) // 8) * 8
         if Wp != W:
             f = jnp.pad(f, ((0, 0), (0, 0), (0, Wp - W), (0, 0)))
-        # pad plane rows so a window starting at the last row stays in bounds
+        # Pad plane rows so a YH-row window anchored anywhere inside the LAST
+        # image stays in bounds: window start is at most (B-1)*H (y_first is
+        # clamped per-image), so the plane needs (B-1)*H + YH rows. Without
+        # this, any level with H < YH (e.g. p5/p6 at 1024px) reads past the
+        # plane for rois in the last image; backends that clamp dynamic-slice
+        # starts then silently shift the window into the previous image.
         plane = f.reshape(B * H, Wp, C)
-        if B * H < YH:
-            plane = jnp.pad(plane, ((0, YH - B * H), (0, 0), (0, 0)))
+        pad_rows = max(0, YH - H)
+        if pad_rows:
+            plane = jnp.pad(plane, ((0, pad_rows), (0, 0), (0, 0)))
         # ensure XW columns exist
         if Wp < XW:
             plane = jnp.pad(plane, ((0, 0), (0, XW - Wp), (0, 0)))

@@ -59,18 +59,20 @@ def _interp_matrix(starts: jnp.ndarray, ends: jnp.ndarray, out_size: int, mask_s
     return oh0 * w0[..., None] + oh1 * w1[..., None]  # [N, out, M]
 
 
-def paste_masks_probs(
-    masks: jnp.ndarray,
-    boxes: jnp.ndarray,
-    image_shape: Tuple[int, int],
-    chunk: int = 8,
-) -> jnp.ndarray:
-    """Paste mask probabilities; returns float [N, H, W]."""
-    H, W = int(image_shape[0]), int(image_shape[1])
-    N, M, _ = masks.shape
-    if N == 0:
-        return jnp.zeros((0, H, W), dtype=jnp.float32)
+def _paste_chunked(masks, boxes, H, W, chunk, postprocess, fast: bool = False):
+    """Shared chunked driver: lax.map over fixed-size instance chunks, with
+    `postprocess` applied INSIDE the scan body so only its (small-dtype)
+    result is materialized for the whole set — pasting a full batch in f32
+    would be gigabytes of HBM.
 
+    fast=False: both matmuls run fp32 HIGHEST (exact probabilities).
+    fast=True: the large [H,M]x[M,W] resample runs with bf16 operands and
+    f32 accumulation (~8x MXU rate). Relative error ~2^-8 only moves the
+    0.5-threshold contour by <=1px on the thin ring of non-saturated pixels —
+    use it when the result is binarized (the reference's own fp16 inference
+    pastes coarser than this, mask_ops.py:17-69).
+    """
+    N, M, _ = masks.shape
     boxes = boxes.astype(jnp.float32)
     masks = masks.astype(jnp.float32)
 
@@ -84,14 +86,22 @@ def paste_masks_probs(
         m, b = args  # [chunk, M, M], [chunk, 4]
         wy = _interp_matrix(b[:, 1], b[:, 3], H, M)  # [chunk, H, M]
         wx = _interp_matrix(b[:, 0], b[:, 2], W, M)  # [chunk, W, M]
-        # HIGHEST: keep fp32 through the MXU — bin thresholding at 0.5 needs
-        # more than bf16 mantissa, and these matmuls are tiny.
+        # the y-blend is tiny (H*M*M) — always exact
         tmp = jnp.einsum(
             "nhm,nmk->nhk", wy, m, preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST
         )
-        return jnp.einsum(
-            "nhk,nwk->nhw", tmp, wx, preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST
-        )
+        if fast:
+            probs = jnp.einsum(
+                "nhk,nwk->nhw",
+                tmp.astype(jnp.bfloat16),
+                wx.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            probs = jnp.einsum(
+                "nhk,nwk->nhw", tmp, wx, preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST
+            )
+        return postprocess(probs)
 
     out = lax.map(
         paste_chunk,
@@ -100,12 +110,27 @@ def paste_masks_probs(
     return out.reshape(-1, H, W)[:N]
 
 
+def paste_masks_probs(
+    masks: jnp.ndarray,
+    boxes: jnp.ndarray,
+    image_shape: Tuple[int, int],
+    chunk: int = 8,
+) -> jnp.ndarray:
+    """Paste mask probabilities; returns float [N, H, W]."""
+    H, W = int(image_shape[0]), int(image_shape[1])
+    N = masks.shape[0]
+    if N == 0:
+        return jnp.zeros((0, H, W), dtype=jnp.float32)
+    return _paste_chunked(masks, boxes, H, W, chunk, lambda p: p)
+
+
 def paste_masks_in_image(
     masks: jnp.ndarray,
     boxes: jnp.ndarray,
     image_shape: Tuple[int, int],
     threshold: float = 0.5,
     chunk: int = 8,
+    fast: bool = False,
 ) -> jnp.ndarray:
     """Paste a set of roi masks (probabilities) into an image-size boolean mask.
 
@@ -118,5 +143,10 @@ def paste_masks_in_image(
     Returns:
         bool [N, H, W].
     """
-    probs = paste_masks_probs(masks, boxes, image_shape, chunk=chunk)
-    return probs >= threshold
+    H, W = int(image_shape[0]), int(image_shape[1])
+    N = masks.shape[0]
+    if N == 0:
+        return jnp.zeros((0, H, W), dtype=bool)
+    # binarize inside the chunk loop: the f32 probabilities for the full set
+    # are never materialized (8x less HBM than probs-then-threshold)
+    return _paste_chunked(masks, boxes, H, W, chunk, lambda p: p >= threshold, fast=fast)

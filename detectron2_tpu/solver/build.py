@@ -15,7 +15,7 @@ import optax
 
 from detectron2_tpu.solver.lr_scheduler import LRMultiplier, WarmupCosineLR, WarmupMultiStepLR
 
-__all__ = ["build_optimizer", "build_lr_scheduler", "get_param_labels", "sgd_with_param_groups", "maybe_add_gradient_clipping"]
+__all__ = ["build_optimizer", "build_lr_scheduler", "get_param_labels", "sgd_with_param_groups", "adamw_with_param_groups", "maybe_add_gradient_clipping"]
 
 _NORM_MARKERS = ("Norm",)  # FrozenBatchNorm2d / BatchNorm / GroupNorm / LayerNorm scopes
 
@@ -39,6 +39,44 @@ def get_param_labels(params) -> Any:
     return jax.tree_util.tree_map_with_path(label, params)
 
 
+def _const_schedule(lr: float) -> Callable:
+    return lambda step: lr
+
+
+def adamw_with_param_groups(
+    lr_schedule,
+    betas: tuple = (0.9, 0.999),
+    weight_decay: float = 0.1,
+    weight_decay_norm: float = 0.0,
+    weight_decay_bias: Optional[float] = None,
+    param_labels=None,
+) -> optax.GradientTransformation:
+    """AdamW with d2's parameter groups (the lazy-config optimizer analogue
+    of reference configs/common/optim.py AdamW)."""
+    if weight_decay_bias is None:
+        weight_decay_bias = weight_decay
+    if not callable(lr_schedule):
+        lr_schedule = _const_schedule(lr_schedule)
+
+    def wd_mask(group, wd):
+        return optax.masked(
+            optax.add_decayed_weights(wd),
+            jax.tree_util.tree_map(lambda l: l == group, param_labels),
+        )
+
+    transforms = [optax.scale_by_adam(b1=betas[0], b2=betas[1])]
+    if param_labels is not None:
+        transforms += [
+            wd_mask("default", weight_decay),
+            wd_mask("norm", weight_decay_norm),
+            wd_mask("bias", weight_decay_bias),
+        ]
+    else:
+        transforms.append(optax.add_decayed_weights(weight_decay))
+    transforms.append(optax.scale_by_schedule(lambda step: -lr_schedule(step)))
+    return optax.chain(*transforms)
+
+
 def sgd_with_param_groups(
     lr_schedule: Callable,
     momentum: float = 0.9,
@@ -52,6 +90,8 @@ def sgd_with_param_groups(
     """Torch-style SGD with d2's parameter groups."""
     if weight_decay_bias is None:
         weight_decay_bias = weight_decay
+    if not callable(lr_schedule):
+        lr_schedule = _const_schedule(lr_schedule)
 
     def wd_mask(group, wd):
         return optax.masked(

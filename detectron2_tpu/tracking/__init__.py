@@ -11,3 +11,6 @@ from detectron2_tpu.tracking.hungarian_tracker import (
 )
 
 __all__ = [k for k in globals().keys() if not k.startswith("_")]
+from detectron2_tpu.tracking.utils import LARGE_COST_VALUE, create_prediction_pairs  # noqa
+
+__all__ = [k for k in globals().keys() if not k.startswith("_")]

@@ -129,3 +129,25 @@ def test_inference_jit(model_and_params):
     f = jax.jit(lambda p, b: model.apply(p, b, train=False))
     det = f(params, batch)
     assert np.isfinite(np.asarray(det["pred_boxes"])).all()
+
+
+def test_in_graph_mask_paste():
+    """TPU.PASTE_MASKS_IN_GRAPH materializes full network-frame masks that
+    match the standalone device paste op."""
+    from detectron2_tpu.ops.paste_masks import paste_masks_in_image
+
+    cfg = maskrcnn_cfg()
+    cfg.TPU.PASTE_MASKS_IN_GRAPH = True
+    model = build_model(cfg)
+    batch = make_batch(with_gt=False, seed=11)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)}, batch, train=False
+    )
+    det = jax.jit(lambda p, b: model.apply(p, b, train=False))(params, batch)
+    assert det["pred_masks_full"].shape == (2, 20, 64, 64)
+    assert det["pred_masks_full"].dtype == bool
+    want = paste_masks_in_image(det["pred_masks"][0], det["pred_boxes"][0], (64, 64), fast=True)
+    np.testing.assert_array_equal(np.asarray(det["pred_masks_full"][0]), np.asarray(want))
+    # the fast (bf16-resample) paste may flip bins only on the 0.5 contour
+    exact = paste_masks_in_image(det["pred_masks"][0], det["pred_boxes"][0], (64, 64))
+    assert (np.asarray(want) != np.asarray(exact)).mean() < 1e-2

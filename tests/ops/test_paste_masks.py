@@ -82,3 +82,24 @@ def test_against_grid_sample_reference():
 
     out = np.asarray(paste_masks_probs(jnp.asarray(mask)[None], jnp.asarray(box)[None], (H, W)))[0]
     np.testing.assert_allclose(out, expected, atol=1e-5)
+
+
+def test_host_paste_matches_device_paste():
+    """The evaluator's numpy paste (postprocessing._paste_masks_np) must agree
+    with the on-device separable paste."""
+    import numpy as np
+
+    from detectron2_tpu.modeling.postprocessing import _paste_masks_np
+    from detectron2_tpu.ops.paste_masks import paste_masks_in_image
+
+    rng = np.random.RandomState(3)
+    N, M, H, W = 7, 28, 96, 80
+    masks = rng.rand(N, M, M).astype(np.float32)
+    xy = rng.rand(N, 2) * 40
+    wh = rng.rand(N, 2) * 40 + 5
+    boxes = np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+
+    host = _paste_masks_np(masks, boxes, H, W)
+    dev = np.asarray(paste_masks_in_image(jnp.asarray(masks), jnp.asarray(boxes), (H, W)))
+    # identical math; allow no disagreement beyond float-assoc at the 0.5 edge
+    assert (host != dev).mean() < 1e-4
