@@ -17,9 +17,17 @@ from detectron2_tpu.modeling.backbone.backbone import Backbone
 __all__ = ["RegNet", "generate_regnet_parameters"]
 
 
-def generate_regnet_parameters(w_a: float, w_0: int, w_m: float, d: int, q: int = 8):
+def generate_regnet_parameters(
+    w_a: float, w_0: int, w_m: float, d: int, q: int = 8, group_width: int = 1, bot_mul: float = 1.0
+):
     """RegNet width ladder (reference regnet.py:310-340): ws[i] = w0 + wa*i,
-    quantized into stages by log-steps of wm."""
+    quantized into stages by log-steps of wm; per-stage widths and group
+    widths are then adjusted for compatibility like the reference's
+    ``adjust_block_compatibility`` (group width capped at the bottleneck
+    width, bottleneck width rounded to a multiple of it).
+
+    Returns (ws, ds, gs): stage widths, depths, per-stage group widths.
+    """
     assert w_a >= 0 and w_0 > 0 and w_m > 1 and w_0 % q == 0
     ws_cont = np.arange(d) * w_a + w_0
     ks = np.round(np.log(ws_cont / w_0) / np.log(w_m))
@@ -28,7 +36,16 @@ def generate_regnet_parameters(w_a: float, w_0: int, w_m: float, d: int, q: int 
     ws, ds = np.unique(ws_all, return_counts=True)
     # preserve ladder order
     order = np.argsort([np.where(ws_all == w)[0][0] for w in ws])
-    return ws[order].tolist(), ds[order].tolist()
+    ws, ds = ws[order].tolist(), ds[order].tolist()
+
+    gs, ws_adj = [], []
+    for w in ws:
+        w_b = max(1, int(round(w * bot_mul)))
+        g = min(group_width, w_b)
+        w_b = int(round(w_b / g)) * g
+        gs.append(g)
+        ws_adj.append(int(round(w_b / bot_mul)))
+    return ws_adj, ds, gs
 
 
 class SE(nn.Module):
@@ -105,7 +122,10 @@ class RegNet(Backbone):
     freeze_at: int = 0
 
     def _ladder(self):
-        return generate_regnet_parameters(self.w_a, self.w_0, self.w_m, self.depth)
+        return generate_regnet_parameters(
+            self.w_a, self.w_0, self.w_m, self.depth,
+            group_width=self.group_width, bot_mul=self.bottleneck_multiplier,
+        )
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
@@ -118,16 +138,16 @@ class RegNet(Backbone):
         if self.freeze_at >= 1:
             x = jax.lax.stop_gradient(x)
 
-        ws, ds = self._ladder()
+        ws, ds, gs = self._ladder()
         outs = {}
         w_in = self.stem_width
-        for i, (w, d) in enumerate(zip(ws, ds), start=1):
+        for i, (w, d, g) in enumerate(zip(ws, ds, gs), start=1):
             for b in range(d):
                 x = XBlock(
                     w_in=w_in if b == 0 else w,
                     w_out=w,
                     stride=2 if b == 0 else 1,
-                    group_width=self.group_width,
+                    group_width=g,
                     bottleneck_multiplier=self.bottleneck_multiplier,
                     se_ratio=self.se_ratio,
                     norm=self.norm,
@@ -142,7 +162,7 @@ class RegNet(Backbone):
         return outs
 
     def output_shape(self) -> Dict[str, ShapeSpec]:
-        ws, _ = self._ladder()
+        ws, _, _ = self._ladder()
         shapes = {}
         stride = 2
         for i, w in enumerate(ws, start=1):

@@ -64,8 +64,13 @@ def get_rel_pos(q_size: int, k_size: int, rel_pos: jnp.ndarray) -> jnp.ndarray:
     return rel_pos[relative_coords.astype(jnp.int32)]
 
 
-def add_decomposed_rel_pos(attn, q, rel_pos_h, rel_pos_w, q_size, k_size):
-    """Decomposed relative position (mvitv2-style; reference utils.py:98-127)."""
+def decomposed_rel_pos_factors(q, rel_pos_h, rel_pos_w, q_size, k_size):
+    """The two factors of the decomposed relative-position bias
+    (mvitv2-style; reference utils.py:98-127):
+    bias[q=(h,w), k=(h2,w2)] = rel_h[q, h2] + rel_w[q, w2].
+
+    Returns rel_h [B, q_h*q_w, k_h] and rel_w [B, q_h*q_w, k_w] — the full
+    [S, S] bias is never materialized (the flash kernel rebuilds tiles)."""
     q_h, q_w = q_size
     k_h, k_w = k_size
     Rh = get_rel_pos(q_h, k_h, rel_pos_h)  # [q_h, k_h, dim]
@@ -75,9 +80,17 @@ def add_decomposed_rel_pos(attn, q, rel_pos_h, rel_pos_w, q_size, k_size):
     r_q = q.reshape(B, q_h, q_w, dim)
     rel_h = jnp.einsum("bhwc,hkc->bhwk", r_q, Rh.astype(q.dtype))
     rel_w = jnp.einsum("bhwc,wkc->bhwk", r_q, Rw.astype(q.dtype))
+    return rel_h.reshape(B, q_h * q_w, k_h), rel_w.reshape(B, q_h * q_w, k_w)
 
-    attn = attn.reshape(B, q_h, q_w, k_h, k_w)
-    attn = attn + rel_h[:, :, :, :, None] + rel_w[:, :, :, None, :]
+
+def add_decomposed_rel_pos(attn, q, rel_pos_h, rel_pos_w, q_size, k_size):
+    """Decomposed relative position added to materialized scores."""
+    q_h, q_w = q_size
+    k_h, k_w = k_size
+    B = q.shape[0]
+    rel_h, rel_w = decomposed_rel_pos_factors(q, rel_pos_h, rel_pos_w, q_size, k_size)
+    attn = attn.reshape(B, q_h * q_w, k_h, k_w)
+    attn = attn + rel_h[:, :, :, None] + rel_w[:, :, None, :]
     return attn.reshape(B, q_h * q_w, k_h * k_w)
 
 
@@ -101,8 +114,7 @@ class Attention(nn.Module):
         # [3, B, nHeads, HW, hd] -> merge batch and heads
         q, k, v = (t.reshape(B * self.num_heads, H * W, head_dim) for t in qkv)
 
-        attn = jnp.einsum("bqc,bkc->bqk", q * scale, k, preferred_element_type=jnp.float32)
-
+        rel_h = rel_w = None
         if self.use_rel_pos:
             rel_pos_h = self.param(
                 "rel_pos_h", nn.initializers.zeros, (2 * self.input_size[0] - 1, head_dim)
@@ -110,10 +122,13 @@ class Attention(nn.Module):
             rel_pos_w = self.param(
                 "rel_pos_w", nn.initializers.zeros, (2 * self.input_size[1] - 1, head_dim)
             )
-            attn = add_decomposed_rel_pos(attn, q, rel_pos_h, rel_pos_w, (H, W), (H, W))
+            rel_h, rel_w = decomposed_rel_pos_factors(q, rel_pos_h, rel_pos_w, (H, W), (H, W))
 
-        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-        x = jnp.einsum("bqk,bkc->bqc", attn, v, preferred_element_type=jnp.float32).astype(v.dtype)
+        from detectron2_tpu.ops.attention import attention_with_rel_pos
+
+        # global blocks at detection resolutions (S >= 1024) take the Pallas
+        # flash path on TPU; windowed blocks (S = 196) use the XLA einsum
+        x = attention_with_rel_pos(q, k, v, rel_h, rel_w, scale=scale)
         x = x.reshape(B, self.num_heads, H * W, head_dim).transpose(0, 2, 1, 3).reshape(B, H, W, self.dim)
         return nn.Dense(self.dim, name="proj")(x)
 

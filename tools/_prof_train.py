@@ -1,0 +1,46 @@
+import numpy as np, jax, jax.numpy as jnp
+from detectron2_tpu.config import get_cfg
+from detectron2_tpu.modeling import build_model
+from detectron2_tpu.parallel import TrainState, make_train_step
+from detectron2_tpu.solver import build_optimizer
+
+cfg = get_cfg()
+cfg.MODEL.BACKBONE.NAME = "build_resnet_fpn_backbone"
+cfg.MODEL.RESNETS.OUT_FEATURES = ["res2","res3","res4","res5"]
+cfg.MODEL.FPN.IN_FEATURES = ["res2","res3","res4","res5"]
+cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[32],[64],[128],[256],[512]]
+cfg.MODEL.RPN.IN_FEATURES = ["p2","p3","p4","p5","p6"]
+cfg.MODEL.ROI_HEADS.NAME = "StandardROIHeads"
+cfg.MODEL.ROI_HEADS.IN_FEATURES = ["p2","p3","p4","p5"]
+cfg.MODEL.ROI_BOX_HEAD.NUM_FC = 2
+cfg.MODEL.ROI_MASK_HEAD.NUM_CONV = 4
+cfg.MODEL.MASK_ON = True
+cfg.SOLVER.MAX_ITER = 1000
+model = build_model(cfg)
+
+B,H,W,G = 8, 800, 1344, 50
+rng = np.random.RandomState(0)
+xy = rng.rand(B, G, 2) * 600
+wh = rng.rand(B, G, 2) * 300 + 16
+batch = {
+  "image": jnp.asarray(rng.randint(0,255,(B,H,W,3)).astype(np.uint8)),
+  "image_sizes": jnp.tile(jnp.asarray([[H,W]],jnp.int32),(B,1)),
+  "gt_boxes": jnp.asarray(np.concatenate([xy, xy+wh], -1).astype(np.float32)),
+  "gt_classes": jnp.asarray(rng.randint(0,80,(B,G)).astype(np.int32)),
+  "gt_valid": jnp.ones((B,G), bool),
+  "gt_masks": jnp.asarray((rng.rand(B,G,28,28)>0.5).astype(np.float32)),
+}
+params = model.init({"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+                    jax.tree_util.tree_map(lambda x: x[:1], batch), train=True)
+tx = build_optimizer(cfg, params)
+state = TrainState.create(params, tx)
+step = make_train_step(model, donate=False)
+k = jax.random.PRNGKey(3)
+state2, losses = step(state, batch, k)
+jax.block_until_ready(losses["total_loss"])
+print("compiled")
+with jax.profiler.trace("/tmp/jaxtrace_train"):
+    for i in range(2):
+        state2, losses = step(state, batch, jax.random.fold_in(k, i))
+    float(np.asarray(losses["total_loss"]))
+print("trace done")
