@@ -59,8 +59,14 @@ def subsample_labels_padded(
     # priority bands: chosen positives (2), negatives (1), everything else 0;
     # random tiebreak strictly inside each band
     priority = keep_pos * 2.0 + negative * 1.0 + r2 * 0.999
-    top_p, idx = jax.lax.top_k(priority, num_samples)
+    k = min(num_samples, N)  # fewer candidates than slots: take all, pad
+    top_p, idx = jax.lax.top_k(priority, k)
 
     valid = top_p >= 1.0
     is_positive = top_p >= 2.0
+    if k < num_samples:
+        pad = num_samples - k
+        idx = jnp.pad(idx, (0, pad))
+        valid = jnp.pad(valid, (0, pad))
+        is_positive = jnp.pad(is_positive, (0, pad))
     return idx.astype(jnp.int32), valid, is_positive

@@ -1,0 +1,402 @@
+#!/usr/bin/env python
+"""Generate golden parity fixtures from the reference detectron2 (CPU torch),
+vendored into tests/goldens/*.npz and consumed by tests/parity/.
+
+Run on a box that has /root/reference mounted:
+    python dev/reference_oracle/make_goldens.py
+
+The reference runs under dev/reference_oracle/stubs.py shims (see that file
+for what is shimmed and why the shims are numerically trustworthy). Each
+golden bundles the exact inputs AND the reference outputs, so the tests do
+not depend on /root/reference or torch RNG at test time.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(os.path.dirname(HERE))
+OUT = os.path.join(REPO, "tests", "goldens")
+
+sys.path.insert(0, HERE)
+import stubs  # noqa: E402
+
+stubs.install()
+sys.path.insert(0, "/root/reference")
+
+import torch  # noqa: E402
+
+
+def save(name, **arrays):
+    os.makedirs(OUT, exist_ok=True)
+    np.savez_compressed(os.path.join(OUT, name + ".npz"), **arrays)
+    print(f"wrote {name}.npz: " + ", ".join(f"{k}{v.shape}" for k, v in arrays.items()))
+
+
+def t2n(x):
+    return x.detach().cpu().numpy()
+
+
+# ------------------------------------------------------------------ RPN seed-121
+
+
+def golden_rpn():
+    """The reference tests/modeling/test_rpn.py::test_rpn scenario: seed 121,
+    default C4 config, 2 images, res4 features 1x2. Captures the initialized
+    RPN-head weights + inputs + reference losses/proposals."""
+    from detectron2.config import get_cfg
+    from detectron2.modeling.backbone import build_backbone
+    from detectron2.modeling.proposal_generator import RPN
+    from detectron2.structures import Boxes, ImageList, Instances
+    from detectron2.utils.events import EventStorage
+
+    torch.manual_seed(121)
+    cfg = get_cfg()
+    # the reference's test_rpn_larger_num_convs variant (5x 64-ch head convs,
+    # published literals loss_rpn_cls=0.08122821152 loss_rpn_loc=0.10064548254)
+    # — chosen over the default 1024-ch head to keep the vendored golden ~3MB
+    cfg.MODEL.RPN.CONV_DIMS = [64, 64, 64, 64, 64]
+    backbone = build_backbone(cfg)
+    rpn = RPN(cfg, backbone.output_shape())
+
+    num_images = 2
+    images_tensor = torch.rand(num_images, 20, 30)
+    image_sizes = [(10, 10), (20, 30)]
+    images = ImageList(images_tensor, image_sizes)
+    features = {"res4": torch.rand(num_images, 1024, 1, 2)}
+    gt_boxes = torch.tensor([[1, 1, 3, 3], [2, 2, 6, 6]], dtype=torch.float32)
+    gt0 = Instances((10, 10))
+    gt0.gt_boxes = Boxes(gt_boxes[:1])
+    gt1 = Instances((20, 30))
+    gt1.gt_boxes = Boxes(gt_boxes[1:])
+
+    with EventStorage():
+        proposals, losses = rpn(images, features, [gt0, gt1])
+
+    sd = rpn.rpn_head.state_dict()
+    convs = {}
+    for i in range(len(cfg.MODEL.RPN.CONV_DIMS)):
+        convs[f"conv{i}_w"] = t2n(sd[f"conv.conv{i}.weight"])
+        convs[f"conv{i}_b"] = t2n(sd[f"conv.conv{i}.bias"])
+    save(
+        "rpn_seed121",
+        **convs,
+        obj_w=t2n(sd["objectness_logits.weight"]),
+        obj_b=t2n(sd["objectness_logits.bias"]),
+        del_w=t2n(sd["anchor_deltas.weight"]),
+        del_b=t2n(sd["anchor_deltas.bias"]),
+        features=t2n(features["res4"]),
+        gt_boxes=t2n(gt_boxes),
+        image_sizes=np.array(image_sizes, np.int32),
+        loss_rpn_cls=np.array(float(losses["loss_rpn_cls"])),
+        loss_rpn_loc=np.array(float(losses["loss_rpn_loc"])),
+        prop0_boxes=t2n(proposals[0].proposal_boxes.tensor),
+        prop0_logits=t2n(proposals[0].objectness_logits),
+        prop1_boxes=t2n(proposals[1].proposal_boxes.tensor),
+        prop1_logits=t2n(proposals[1].objectness_logits),
+    )
+
+
+# ------------------------------------------------------------------ paste_masks
+
+
+def golden_paste_masks():
+    from detectron2.layers.mask_ops import paste_masks_in_image
+    from detectron2.structures import Boxes
+
+    rng = np.random.RandomState(3)
+    N, M = 12, 28
+    H, W = 97, 131
+    masks = rng.rand(N, M, M).astype(np.float32)
+    x1 = rng.rand(N) * (W - 30)
+    y1 = rng.rand(N) * (H - 30)
+    bw = rng.rand(N) * 60 + 4
+    bh = rng.rand(N) * 60 + 4
+    boxes = np.stack([x1, y1, np.minimum(x1 + bw, W + 5), np.minimum(y1 + bh, H + 5)], 1).astype(
+        np.float32
+    )
+    out = paste_masks_in_image(
+        torch.from_numpy(masks), Boxes(torch.from_numpy(boxes)), (H, W), threshold=0.5
+    )
+    raw = paste_masks_in_image(
+        torch.from_numpy(masks), Boxes(torch.from_numpy(boxes)), (H, W), threshold=-1
+    )
+    save(
+        "paste_masks",
+        masks=masks,
+        boxes=boxes,
+        image_hw=np.array([H, W], np.int32),
+        pasted_binary=t2n(out).astype(np.uint8),
+        pasted_raw=t2n(raw.float()) if raw.dtype == torch.uint8 else t2n(raw),
+    )
+
+
+# ------------------------------------------------------------------ keypoints
+
+
+def golden_keypoints():
+    from detectron2.structures.keypoints import Keypoints, heatmaps_to_keypoints
+
+    rng = np.random.RandomState(11)
+    N, K, S = 6, 17, 56
+    boxes = []
+    for _ in range(N):
+        x1, y1 = rng.rand(2) * 50
+        w, h = rng.rand(2) * 80 + 8
+        boxes.append([x1, y1, x1 + w, y1 + h])
+    boxes = np.array(boxes, np.float32)
+    kpts = np.zeros((N, K, 3), np.float32)
+    for i in range(N):
+        kpts[i, :, 0] = boxes[i, 0] + rng.rand(K) * (boxes[i, 2] - boxes[i, 0]) * 1.1 - 2
+        kpts[i, :, 1] = boxes[i, 1] + rng.rand(K) * (boxes[i, 3] - boxes[i, 1]) * 1.1 - 2
+        kpts[i, :, 2] = rng.randint(0, 3, K)
+
+    hm, valid = Keypoints(torch.from_numpy(kpts)).to_heatmap(torch.from_numpy(boxes), S)
+
+    # smooth Gaussian-blob heatmaps: the reference decodes via per-roi bicubic
+    # resize, our framework via static bilinear upsample — argmax on smooth
+    # unimodal maps is where the two designs must agree (random noise would
+    # pin interpolation artifacts, not keypoint semantics)
+    yy, xx = np.meshgrid(np.arange(S), np.arange(S), indexing="ij")
+    maps = np.zeros((N, K, S, S), np.float32)
+    for i in range(N):
+        for k in range(K):
+            cy, cx = rng.rand(2) * (S - 8) + 4
+            sig = rng.rand() * 3 + 2
+            maps[i, k] = 8 * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * sig**2))
+    decoded = heatmaps_to_keypoints(torch.from_numpy(maps), torch.from_numpy(boxes))
+    save(
+        "keypoints",
+        kpts=kpts,
+        boxes=boxes,
+        heatmap_size=np.array([S]),
+        enc_indices=t2n(hm),
+        enc_valid=t2n(valid),
+        maps=maps,
+        decoded=t2n(decoded),
+    )
+
+
+# ------------------------------------------------------------------ proposal selection
+
+
+def golden_find_top_rpn_proposals():
+    from detectron2.modeling.proposal_generator.proposal_utils import find_top_rpn_proposals
+    from detectron2.structures import Boxes
+
+    rng = np.random.RandomState(7)
+    B = 2
+    image_sizes = [(180, 240), (200, 150)]
+    level_hw = [(24, 32), (12, 16), (6, 8)]
+    proposals, logits = [], []
+    for (h, w) in level_hw:
+        n = h * w * 3
+        cx = rng.rand(B, n) * 240
+        cy = rng.rand(B, n) * 200
+        bw = rng.rand(B, n) * 90 + 2
+        bh = rng.rand(B, n) * 90 + 2
+        boxes = np.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], -1).astype(
+            np.float32
+        )
+        proposals.append(torch.from_numpy(boxes))
+        logits.append(torch.from_numpy(rng.randn(B, n).astype(np.float32)))
+
+    out = find_top_rpn_proposals(
+        proposals,
+        logits,
+        image_sizes,
+        nms_thresh=0.7,
+        pre_nms_topk=200,
+        post_nms_topk=80,
+        min_box_size=1.0,
+        training=False,
+    )
+    save(
+        "find_top_rpn_proposals",
+        image_sizes=np.array(image_sizes, np.int32),
+        lvl0_boxes=t2n(proposals[0]),
+        lvl1_boxes=t2n(proposals[1]),
+        lvl2_boxes=t2n(proposals[2]),
+        lvl0_logits=t2n(logits[0]),
+        lvl1_logits=t2n(logits[1]),
+        lvl2_logits=t2n(logits[2]),
+        out0_boxes=t2n(out[0].proposal_boxes.tensor),
+        out0_logits=t2n(out[0].objectness_logits),
+        out1_boxes=t2n(out[1].proposal_boxes.tensor),
+        out1_logits=t2n(out[1].objectness_logits),
+    )
+
+
+# ------------------------------------------------------------------ fast_rcnn_inference
+
+
+def golden_fast_rcnn_inference():
+    from detectron2.modeling.roi_heads.fast_rcnn import fast_rcnn_inference
+
+    rng = np.random.RandomState(5)
+    R, C = 300, 8
+    image_shape = (160, 220)
+    scores = torch.from_numpy(
+        torch.softmax(torch.from_numpy(rng.randn(R, C + 1).astype(np.float32) * 2), -1).numpy()
+    )
+    x1 = rng.rand(R, C) * 200
+    y1 = rng.rand(R, C) * 140
+    bw = rng.rand(R, C) * 70 + 2
+    bh = rng.rand(R, C) * 70 + 2
+    boxes = np.stack([x1, y1, x1 + bw, y1 + bh], -1).reshape(R, C * 4).astype(np.float32)
+
+    insts, _ = fast_rcnn_inference(
+        [torch.from_numpy(boxes)],
+        [scores],
+        [image_shape],
+        score_thresh=0.05,
+        nms_thresh=0.5,
+        topk_per_image=100,
+    )
+    inst = insts[0]
+    save(
+        "fast_rcnn_inference",
+        scores=t2n(scores),
+        boxes=boxes,
+        image_shape=np.array(image_shape, np.int32),
+        out_boxes=t2n(inst.pred_boxes.tensor),
+        out_scores=t2n(inst.scores),
+        out_classes=t2n(inst.pred_classes),
+    )
+
+
+# ------------------------------------------------------------------ box2box (incl. rotated)
+
+
+def golden_box2box():
+    from detectron2.modeling.box_regression import Box2BoxTransform, Box2BoxTransformRotated
+
+    rng = np.random.RandomState(9)
+    N = 64
+    src = rng.rand(N, 4).astype(np.float32) * 100
+    src[:, 2:] = src[:, :2] + rng.rand(N, 2).astype(np.float32) * 80 + 1
+    tgt = rng.rand(N, 4).astype(np.float32) * 100
+    tgt[:, 2:] = tgt[:, :2] + rng.rand(N, 2).astype(np.float32) * 80 + 1
+    b2b = Box2BoxTransform(weights=(10.0, 10.0, 5.0, 5.0))
+    deltas = b2b.get_deltas(torch.from_numpy(src), torch.from_numpy(tgt))
+    # include extreme deltas to pin the log(1000/16) clamp
+    wild = rng.randn(N, 4).astype(np.float32) * 4
+    applied = b2b.apply_deltas(torch.from_numpy(wild), torch.from_numpy(src))
+
+    rsrc = np.stack(
+        [
+            rng.rand(N) * 100,
+            rng.rand(N) * 100,
+            rng.rand(N) * 60 + 2,
+            rng.rand(N) * 60 + 2,
+            rng.rand(N) * 360 - 180,
+        ],
+        1,
+    ).astype(np.float32)
+    rtgt = np.stack(
+        [
+            rng.rand(N) * 100,
+            rng.rand(N) * 100,
+            rng.rand(N) * 60 + 2,
+            rng.rand(N) * 60 + 2,
+            rng.rand(N) * 360 - 180,
+        ],
+        1,
+    ).astype(np.float32)
+    rb2b = Box2BoxTransformRotated(weights=(10.0, 10.0, 5.0, 5.0, 1.0))
+    rdeltas = rb2b.get_deltas(torch.from_numpy(rsrc), torch.from_numpy(rtgt))
+    rwild = rng.randn(N, 5).astype(np.float32) * 2
+    rapplied = rb2b.apply_deltas(torch.from_numpy(rwild), torch.from_numpy(rsrc))
+
+    save(
+        "box2box",
+        src=src,
+        tgt=tgt,
+        deltas=t2n(deltas),
+        wild=wild,
+        applied=t2n(applied),
+        rsrc=rsrc,
+        rtgt=rtgt,
+        rdeltas=t2n(rdeltas),
+        rwild=rwild,
+        rapplied=t2n(rapplied),
+    )
+
+
+# ------------------------------------------------------------------ matcher
+
+
+def golden_matcher():
+    from detectron2.modeling.matcher import Matcher
+
+    rng = np.random.RandomState(13)
+    M, N = 7, 120
+    iou = rng.rand(M, N).astype(np.float32)
+    matcher = Matcher([0.3, 0.7], [0, -1, 1], allow_low_quality_matches=True)
+    matches, labels = matcher(torch.from_numpy(iou))
+    matcher2 = Matcher([0.5], [0, 1], allow_low_quality_matches=False)
+    matches2, labels2 = matcher2(torch.from_numpy(iou))
+    save(
+        "matcher",
+        iou=iou,
+        matches_lq=t2n(matches),
+        labels_lq=t2n(labels),
+        matches_plain=t2n(matches2),
+        labels_plain=t2n(labels2),
+    )
+
+
+# ------------------------------------------------------------------ roi_align oracle
+
+
+def golden_roi_align():
+    """Goldens from the stub's slow direct-definition ROIAlign (independent
+    of both torchvision and detectron2_tpu)."""
+    rng = np.random.RandomState(17)
+    N, C, H, W = 2, 3, 24, 32
+    feat = rng.randn(N, C, H, W).astype(np.float32)
+    rois = np.array(
+        [
+            [0, 2.0, 3.0, 20.0, 18.0],
+            [0, -4.0, -2.0, 10.0, 12.0],  # partially out of bounds
+            [1, 0.5, 0.5, 30.5, 22.5],
+            [1, 10.0, 5.0, 11.5, 6.5],  # tiny box
+            [0, 25.0, 15.0, 40.0, 30.0],  # spills past the right/bottom edge
+        ],
+        np.float32,
+    )
+    out_aligned = stubs._tv_roi_align(
+        torch.from_numpy(feat), torch.from_numpy(rois), (7, 7), 0.5, 2, aligned=True
+    )
+    out_legacy = stubs._tv_roi_align(
+        torch.from_numpy(feat), torch.from_numpy(rois), (7, 7), 0.5, 2, aligned=False
+    )
+    out_adaptive = stubs._tv_roi_align(
+        torch.from_numpy(feat), torch.from_numpy(rois), (7, 7), 0.5, -1, aligned=True
+    )
+    save(
+        "roi_align",
+        feat=feat,
+        rois=rois,
+        out_aligned=t2n(out_aligned),
+        out_legacy=t2n(out_legacy),
+        out_adaptive=t2n(out_adaptive),
+    )
+
+
+if __name__ == "__main__":
+    for fn in [
+        golden_box2box,
+        golden_matcher,
+        golden_paste_masks,
+        golden_keypoints,
+        golden_fast_rcnn_inference,
+        golden_find_top_rpn_proposals,
+        golden_roi_align,
+        golden_rpn,
+    ]:
+        print(f"--- {fn.__name__}")
+        fn()
+    print("all goldens written to", OUT)

@@ -1,0 +1,523 @@
+"""Dependency shims that let the reference detectron2 (at /root/reference)
+run on CPU torch in this environment, so it can serve as a golden ORACLE for
+parity tests (dev/make_goldens.py).
+
+The environment has torch (cpu) but not fvcore / yacs / torchvision /
+pycocotools / iopath / omegaconf. Each shim below reimplements the minimal,
+publicly-documented semantics the reference actually uses — written from the
+documented behavior, not copied. The only shim whose numerics matter to the
+goldens is torchvision.ops.roi_align / nms: both are implemented here as
+direct, slow transcriptions of their published mathematical definitions
+(bilinear sampling with aligned half-pixel offsets; greedy score-descending
+IoU suppression) so they are an oracle independent of detectron2_tpu's own
+implementations.
+
+Usage:  from stubs import install; install()   # before importing detectron2
+"""
+
+import copy
+import math
+import sys
+import types
+
+import numpy as np
+import torch
+import torch.nn as nn
+
+
+# ---------------------------------------------------------------- yacs-style CfgNode
+
+
+class CfgNode(dict):
+    """Minimal yacs-compatible config node: attribute access, clone, freeze,
+    merge_from_other_cfg/list, yaml dump. Enough for get_cfg() + tests."""
+
+    IMMUTABLE = "__immutable__"
+
+    def __init__(self, init_dict=None):
+        init_dict = {} if init_dict is None else init_dict
+        super().__init__(init_dict)
+        self.__dict__[CfgNode.IMMUTABLE] = False
+
+    def __getattr__(self, name):
+        if name in self:
+            return self[name]
+        raise AttributeError(name)
+
+    def __setattr__(self, name, value):
+        if self.__dict__.get(CfgNode.IMMUTABLE):
+            raise AttributeError(f"attempted to set {name} on immutable config")
+        self[name] = value
+
+    def clone(self):
+        return copy.deepcopy(self)
+
+    def freeze(self):
+        self.__dict__[CfgNode.IMMUTABLE] = True
+        for v in self.values():
+            if isinstance(v, CfgNode):
+                v.freeze()
+
+    def defrost(self):
+        self.__dict__[CfgNode.IMMUTABLE] = False
+        for v in self.values():
+            if isinstance(v, CfgNode):
+                v.defrost()
+
+    def is_frozen(self):
+        return self.__dict__[CfgNode.IMMUTABLE]
+
+    def merge_from_other_cfg(self, other):
+        def _merge(src, dst):
+            for k, v in src.items():
+                if isinstance(v, CfgNode) and isinstance(dst.get(k), CfgNode):
+                    _merge(v, dst[k])
+                else:
+                    dst[k] = v
+
+        _merge(other, self)
+
+    def merge_from_list(self, opts):
+        for k, v in zip(opts[0::2], opts[1::2]):
+            node = self
+            keys = k.split(".")
+            for sub in keys[:-1]:
+                node = node[sub]
+            old = node[keys[-1]]
+            node[keys[-1]] = type(old)(v) if old is not None else v
+
+    def dump(self, **kwargs):
+        import json
+
+        return json.dumps(self, default=str)
+
+    @classmethod
+    def load_cfg(cls, s):  # pragma: no cover
+        raise NotImplementedError
+
+    def __deepcopy__(self, memo):
+        new = type(self)()
+        for k, v in self.items():
+            new[k] = copy.deepcopy(v, memo)
+        return new
+
+
+# ---------------------------------------------------------------- fvcore shims
+
+
+def _c2_msra_fill(module):
+    nn.init.kaiming_normal_(module.weight, mode="fan_out", nonlinearity="relu")
+    if module.bias is not None:
+        nn.init.constant_(module.bias, 0)
+
+
+def _c2_xavier_fill(module):
+    nn.init.kaiming_uniform_(module.weight, a=1)
+    if module.bias is not None:
+        nn.init.constant_(module.bias, 0)
+
+
+def _smooth_l1_loss(input, target, beta, reduction="none"):
+    if beta < 1e-5:
+        loss = torch.abs(input - target)
+    else:
+        n = torch.abs(input - target)
+        cond = n < beta
+        loss = torch.where(cond, 0.5 * n**2 / beta, n - 0.5 * beta)
+    if reduction == "mean":
+        loss = loss.mean() if loss.numel() > 0 else 0.0 * loss.sum()
+    elif reduction == "sum":
+        loss = loss.sum()
+    return loss
+
+
+def _giou_loss(boxes1, boxes2, reduction="none", eps=1e-7):
+    x1, y1, x2, y2 = boxes1.unbind(dim=-1)
+    x1g, y1g, x2g, y2g = boxes2.unbind(dim=-1)
+    assert (x2 >= x1).all(), "bad box: x1 larger than x2"
+    assert (y2 >= y1).all(), "bad box: y1 larger than y2"
+    xkis1 = torch.max(x1, x1g)
+    ykis1 = torch.max(y1, y1g)
+    xkis2 = torch.min(x2, x2g)
+    ykis2 = torch.min(y2, y2g)
+    intsctk = torch.zeros_like(x1)
+    mask = (ykis2 > ykis1) & (xkis2 > xkis1)
+    intsctk[mask] = (xkis2[mask] - xkis1[mask]) * (ykis2[mask] - ykis1[mask])
+    unionk = (x2 - x1) * (y2 - y1) + (x2g - x1g) * (y2g - y1g) - intsctk
+    iouk = intsctk / (unionk + eps)
+    xc1 = torch.min(x1, x1g)
+    yc1 = torch.min(y1, y1g)
+    xc2 = torch.max(x2, x2g)
+    yc2 = torch.max(y2, y2g)
+    area_c = (xc2 - xc1) * (yc2 - yc1)
+    miouk = iouk - ((area_c - unionk) / (area_c + eps))
+    loss = 1 - miouk
+    if reduction == "mean":
+        loss = loss.mean() if loss.numel() > 0 else 0.0 * loss.sum()
+    elif reduction == "sum":
+        loss = loss.sum()
+    return loss
+
+
+def _sigmoid_focal_loss(inputs, targets, alpha=-1, gamma=2, reduction="none"):
+    p = torch.sigmoid(inputs)
+    ce_loss = torch.nn.functional.binary_cross_entropy_with_logits(
+        inputs, targets, reduction="none"
+    )
+    p_t = p * targets + (1 - p) * (1 - targets)
+    loss = ce_loss * ((1 - p_t) ** gamma)
+    if alpha >= 0:
+        alpha_t = alpha * targets + (1 - alpha) * (1 - targets)
+        loss = alpha_t * loss
+    if reduction == "mean":
+        loss = loss.mean()
+    elif reduction == "sum":
+        loss = loss.sum()
+    return loss
+
+
+class Registry:
+    def __init__(self, name):
+        self._name = name
+        self._map = {}
+
+    def register(self, obj=None):
+        if obj is None:
+
+            def deco(fn_or_cls):
+                self._map[fn_or_cls.__name__] = fn_or_cls
+                return fn_or_cls
+
+            return deco
+        self._map[obj.__name__] = obj
+        return obj
+
+    def get(self, name):
+        return self._map[name]
+
+    def __contains__(self, name):
+        return name in self._map
+
+    def __iter__(self):
+        return iter(self._map.items())
+
+
+class HistoryBuffer:
+    def __init__(self, max_length: int = 1000000):
+        self._max_length = max_length
+        self._data = []
+        self._count = 0
+        self._global_avg = 0.0
+
+    def update(self, value, iteration=None):
+        if iteration is None:
+            iteration = self._count
+        if len(self._data) == self._max_length:
+            self._data.pop(0)
+        self._data.append((value, iteration))
+        self._count += 1
+        self._global_avg += (value - self._global_avg) / self._count
+
+    def latest(self):
+        return self._data[-1][0]
+
+    def median(self, window_size):
+        return float(np.median([x[0] for x in self._data[-window_size:]]))
+
+    def avg(self, window_size):
+        return float(np.mean([x[0] for x in self._data[-window_size:]]))
+
+    def global_avg(self):
+        return self._global_avg
+
+    def values(self):
+        return self._data
+
+
+# ---------------------------------------------------------------- torchvision shims
+
+
+def _tv_nms(boxes: torch.Tensor, scores: torch.Tensor, iou_threshold: float):
+    """Exact greedy NMS: score-descending scan, suppress IoU > threshold.
+    Direct transcription of the documented torchvision.ops.nms contract."""
+    order = scores.argsort(descending=True)
+    boxes = boxes[order]
+    x1, y1, x2, y2 = boxes.unbind(-1)
+    areas = (x2 - x1) * (y2 - y1)
+    keep = []
+    alive = torch.ones(len(boxes), dtype=torch.bool)
+    for i in range(len(boxes)):
+        if not alive[i]:
+            continue
+        keep.append(order[i].item())
+        xx1 = torch.max(x1[i], x1)
+        yy1 = torch.max(y1[i], y1)
+        xx2 = torch.min(x2[i], x2)
+        yy2 = torch.min(y2[i], y2)
+        inter = (xx2 - xx1).clamp(min=0) * (yy2 - yy1).clamp(min=0)
+        iou = inter / (areas[i] + areas - inter)
+        alive &= iou <= iou_threshold
+        alive[i] = False
+    return torch.as_tensor(keep, dtype=torch.int64)
+
+
+def _tv_batched_nms(boxes, scores, idxs, iou_threshold):
+    """Per-class NMS via the coordinate-offset trick (torchvision semantics)."""
+    if boxes.numel() == 0:
+        return torch.empty((0,), dtype=torch.int64)
+    max_coordinate = boxes.max()
+    offsets = idxs.to(boxes) * (max_coordinate + torch.tensor(1).to(boxes))
+    keep = _tv_nms(boxes + offsets[:, None], scores, iou_threshold)
+    return keep
+
+
+def _bilinear(plane: torch.Tensor, y: float, x: float) -> torch.Tensor:
+    """Bilinear interpolation on [C, H, W] with zero padding outside,
+    matching the ROIAlign sampling rule (points with y/x < -1 or > size
+    contribute zero; coords are clamped at 0 on the low side)."""
+    C, H, W = plane.shape
+    if y < -1.0 or y > H or x < -1.0 or x > W:
+        return plane.new_zeros(C)
+    y = min(max(y, 0.0), H - 1)
+    x = min(max(x, 0.0), W - 1)
+    y0, x0 = int(math.floor(y)), int(math.floor(x))
+    y1, x1 = min(y0 + 1, H - 1), min(x0 + 1, W - 1)
+    ly, lx = y - y0, x - x0
+    return (
+        plane[:, y0, x0] * (1 - ly) * (1 - lx)
+        + plane[:, y0, x1] * (1 - ly) * lx
+        + plane[:, y1, x0] * ly * (1 - lx)
+        + plane[:, y1, x1] * ly * lx
+    )
+
+
+def _tv_roi_align(
+    input, boxes, output_size, spatial_scale=1.0, sampling_ratio=-1, aligned=False
+):
+    """Slow-but-exact ROIAlign from the published definition (Mask R-CNN
+    paper + torchvision docs): average of bilinear samples on a regular grid
+    inside each output bin; `aligned=True` shifts by half a pixel."""
+    if isinstance(boxes, torch.Tensor):
+        rois = boxes
+    else:
+        rois = torch.cat(
+            [
+                torch.cat([torch.full((len(b), 1), i, dtype=b.dtype), b], dim=1)
+                for i, b in enumerate(boxes)
+            ],
+            dim=0,
+        )
+    if isinstance(output_size, int):
+        output_size = (output_size, output_size)
+    ph_n, pw_n = output_size
+    N, C, H, W = input.shape
+    out = input.new_zeros(len(rois), C, ph_n, pw_n)
+    offset = 0.5 if aligned else 0.0
+    for r, roi in enumerate(rois):
+        b = int(roi[0].item())
+        x1 = roi[1].item() * spatial_scale - offset
+        y1 = roi[2].item() * spatial_scale - offset
+        x2 = roi[3].item() * spatial_scale - offset
+        y2 = roi[4].item() * spatial_scale - offset
+        roi_w, roi_h = x2 - x1, y2 - y1
+        if not aligned:
+            roi_w, roi_h = max(roi_w, 1.0), max(roi_h, 1.0)
+        bin_h, bin_w = roi_h / ph_n, roi_w / pw_n
+        grid_h = sampling_ratio if sampling_ratio > 0 else int(math.ceil(roi_h / ph_n))
+        grid_w = sampling_ratio if sampling_ratio > 0 else int(math.ceil(roi_w / pw_n))
+        grid_h, grid_w = max(grid_h, 1), max(grid_w, 1)
+        for ph in range(ph_n):
+            for pw in range(pw_n):
+                acc = input.new_zeros(C)
+                for iy in range(grid_h):
+                    yy = y1 + ph * bin_h + (iy + 0.5) * bin_h / grid_h
+                    for ix in range(grid_w):
+                        xx = x1 + pw * bin_w + (ix + 0.5) * bin_w / grid_w
+                        acc += _bilinear(input[b], yy, xx)
+                out[r, :, ph, pw] = acc / (grid_h * grid_w)
+    return out
+
+
+# ---------------------------------------------------------------- install
+
+
+def install():
+    """Insert all shims into sys.modules (idempotent)."""
+    if "fvcore" in sys.modules and getattr(sys.modules["fvcore"], "_d2tpu_stub", False):
+        return
+
+    def mod(name):
+        m = types.ModuleType(name)
+        m._d2tpu_stub = True
+        sys.modules[name] = m
+        return m
+
+    fvcore = mod("fvcore")
+    fvcore.__version__ = "0.1.6"
+    fv_nn = mod("fvcore.nn")
+    fv_wi = mod("fvcore.nn.weight_init")
+    fv_dist = mod("fvcore.nn.distributed")
+    fv_common = mod("fvcore.common")
+    fv_cfg = mod("fvcore.common.config")
+    fv_reg = mod("fvcore.common.registry")
+    fv_hb = mod("fvcore.common.history_buffer")
+    fv_tfm = mod("fvcore.transforms")
+    fv_ps = mod("fvcore.common.param_scheduler")
+    fv_timer = mod("fvcore.common.timer")
+    fv_ckpt = mod("fvcore.common.checkpoint")
+    fvcore.nn = fv_nn
+    fvcore.common = fv_common
+
+    fv_wi.c2_msra_fill = _c2_msra_fill
+    fv_wi.c2_xavier_fill = _c2_xavier_fill
+    fv_nn.weight_init = fv_wi
+    fv_nn.smooth_l1_loss = _smooth_l1_loss
+    fv_nn.giou_loss = _giou_loss
+    fv_nn.sigmoid_focal_loss_jit = _sigmoid_focal_loss
+    fv_nn.sigmoid_focal_loss = _sigmoid_focal_loss
+    fv_dist.differentiable_all_reduce = lambda t: t
+    fv_cfg.CfgNode = CfgNode
+    fv_reg.Registry = Registry
+    fv_hb.HistoryBuffer = HistoryBuffer
+
+    import fvcore_transforms_stub as _ftt
+
+    fv_tfm_t = mod("fvcore.transforms.transform")
+    for name in _ftt.__all__:
+        setattr(fv_tfm_t, name, getattr(_ftt, name))
+        setattr(fv_tfm, name, getattr(_ftt, name))
+    fv_tfm_t.__all__ = list(_ftt.__all__)
+    fv_tfm.transform = fv_tfm_t
+
+    class ParamScheduler:  # for solver imports
+        pass
+
+    for n in (
+        "CosineParamScheduler",
+        "MultiStepParamScheduler",
+        "LinearParamScheduler",
+        "CompositeParamScheduler",
+        "ConstantParamScheduler",
+        "StepWithFixedGammaParamScheduler",
+        "PolynomialDecayParamScheduler",
+    ):
+        setattr(fv_ps, n, type(n, (ParamScheduler,), {}))
+    fv_ps.ParamScheduler = ParamScheduler
+
+    import time as _time
+
+    class Timer:
+        def __init__(self):
+            self._start = _time.perf_counter()
+
+        def reset(self):
+            self._start = _time.perf_counter()
+
+        def seconds(self):
+            return _time.perf_counter() - self._start
+
+    fv_timer.Timer = Timer
+
+    class Checkpointer:  # only referenced by checkpoint code paths we don't run
+        def __init__(self, *a, **k):
+            raise NotImplementedError
+
+    fv_ckpt.Checkpointer = Checkpointer
+    fv_ckpt.PeriodicCheckpointer = type("PeriodicCheckpointer", (), {})
+    fv_ckpt._IncompatibleKeys = type("_IncompatibleKeys", (), {})
+
+    tv = mod("torchvision")
+    tv_ops = mod("torchvision.ops")
+    tv_boxes = mod("torchvision.ops.boxes")
+    tv.ops = tv_ops
+    tv_ops.boxes = tv_boxes
+    tv_ops.nms = _tv_nms
+    tv_ops.roi_align = _tv_roi_align
+    tv_boxes.batched_nms = _tv_batched_nms
+    tv_boxes.nms = _tv_nms
+
+    class RoIPool:  # referenced by poolers.py type hints only
+        def __init__(self, *a, **k):
+            raise NotImplementedError
+
+    tv_ops.RoIPool = RoIPool
+
+    def _deform_conv2d(*a, **k):  # layers/deform_conv.py import only
+        raise NotImplementedError
+
+    tv_ops.deform_conv2d = _deform_conv2d
+
+    # pycocotools.mask: only needed when rasterizing polygon GT — route to
+    # detectron2_tpu's own RLE codec where semantics allow; raise otherwise.
+    pct = mod("pycocotools")
+    pct_mask = mod("pycocotools.mask")
+    pct.mask = pct_mask
+
+    def _not_impl(*a, **k):
+        raise NotImplementedError("pycocotools shim: not needed for goldens")
+
+    for fn in ("encode", "decode", "merge", "frPyObjects", "area", "toBbox", "iou"):
+        setattr(pct_mask, fn, _not_impl)
+
+    iopath = mod("iopath")
+    iop_common = mod("iopath.common")
+    iop_fio = mod("iopath.common.file_io")
+    iopath.common = iop_common
+
+    class PathHandler:
+        def _get_supported_prefixes(self):
+            return []
+
+    class PathManagerBase:
+        def __init__(self):
+            pass
+
+        def register_handler(self, *a, **k):
+            pass
+
+        def get_local_path(self, path, **k):
+            return path
+
+        def open(self, path, mode="r", **k):
+            return open(path, mode)
+
+        def isfile(self, path):
+            import os
+
+            return os.path.isfile(path)
+
+        def exists(self, path):
+            import os
+
+            return os.path.exists(path)
+
+    iop_fio.PathHandler = PathHandler
+    iop_fio.PathManager = PathManagerBase
+    iop_fio.HTTPURLHandler = type("HTTPURLHandler", (PathHandler,), {})
+    iop_fio.OneDrivePathHandler = type("OneDrivePathHandler", (PathHandler,), {})
+    iop_fio.file_lock = lambda p: open("/dev/null")
+
+    om = mod("omegaconf")
+
+    class DictConfig(dict):
+        def __init__(self, content=None, flags=None):
+            super().__init__(content or {})
+
+    class ListConfig(list):
+        pass
+
+    class OmegaConf:
+        @staticmethod
+        def create(x=None, flags=None):
+            return DictConfig(x or {})
+
+        @staticmethod
+        def to_container(x, **k):
+            return dict(x)
+
+    om.DictConfig = DictConfig
+    om.ListConfig = ListConfig
+    om.OmegaConf = OmegaConf
+    om.SCMode = types.SimpleNamespace(INSTANTIATE=1, DICT=2)
+
+    # cv2/psutil/pydoc are real; nothing else needed.
