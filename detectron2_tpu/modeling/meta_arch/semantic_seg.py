@@ -96,7 +96,10 @@ class SemSegFPNHead(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, features: Dict[str, jnp.ndarray], targets: Optional[jnp.ndarray] = None, train: bool = False):
+    def layers(self, features: Dict[str, jnp.ndarray], train: bool = False) -> jnp.ndarray:
+        """The conv tower: per-level convs upscaled to the common stride,
+        summed, 1x1-predicted. Returns f32 logits [B, H/cs, W/cs, C]
+        (reference semantic_seg.py SemSegFPNHead.layers)."""
         import math
 
         outs = []
@@ -120,20 +123,24 @@ class SemSegFPNHead(nn.Module):
             outs.append(x)
         x = sum(outs)
         logits = Conv2d(features=self.num_classes, kernel_size=1, name="predictor")(x, train=train)
-        logits = logits.astype(jnp.float32)
+        return logits.astype(jnp.float32)
 
+    def losses(self, logits: jnp.ndarray, targets: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        """Per-pixel CE at target resolution (reference SemSegFPNHead.losses)."""
+        B, H, W, C = logits.shape
+        up = jax.image.resize(
+            logits, (B, H * self.common_stride, W * self.common_stride, C), method="bilinear"
+        )
+        th, tw = targets.shape[1], targets.shape[2]
+        up = up[:, :th, :tw]
+        loss = cross_entropy(up, targets, reduction="mean", ignore_index=self.ignore_value)
+        return {"loss_sem_seg": loss * self.loss_weight}
+
+    def __call__(self, features: Dict[str, jnp.ndarray], targets: Optional[jnp.ndarray] = None, train: bool = False):
+        logits = self.layers(features, train=train)
         if train:
             assert targets is not None
-            # upsample logits to target resolution (common_stride x)
-            B, H, W, C = logits.shape
-            up = jax.image.resize(
-                logits, (B, H * self.common_stride, W * self.common_stride, C), method="bilinear"
-            )
-            th, tw = targets.shape[1], targets.shape[2]
-            up = up[:, :th, :tw]
-            loss = cross_entropy(up, targets, reduction="mean", ignore_index=self.ignore_value)
-            return None, {"loss_sem_seg": loss * self.loss_weight}
-
+            return None, self.losses(logits, targets)
         B, H, W, C = logits.shape
         up = jax.image.resize(
             logits, (B, H * self.common_stride, W * self.common_stride, C), method="bilinear"

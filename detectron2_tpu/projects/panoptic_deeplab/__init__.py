@@ -18,6 +18,7 @@ from detectron2_tpu.projects.panoptic_deeplab.post_processing import (
     find_instance_center,
     get_panoptic_segmentation,
     group_pixels,
+    panoptic_deeplab_postprocess,
 )
 from detectron2_tpu.projects.panoptic_deeplab.target_generator import (
     PanopticDeepLabTargetGenerator,
@@ -31,5 +32,6 @@ __all__ = [
     "find_instance_center",
     "group_pixels",
     "get_panoptic_segmentation",
+    "panoptic_deeplab_postprocess",
     "PanopticDeepLabTargetGenerator",
 ]

@@ -115,3 +115,67 @@ def get_panoptic_segmentation(
     small = areas[sem_seg] < stuff_area
     pan = jnp.where((ins_id == 0) & small & ~thing_mask, 0, pan)
     return pan, scores
+
+
+def panoptic_deeplab_postprocess(
+    sem_logits,
+    center,
+    offset,
+    image_size,
+    thing_ids,
+    label_divisor: int = 1000,
+    stuff_area: int = 2048,
+    threshold: float = 0.1,
+    nms_kernel: int = 7,
+    top_k: int = 200,
+):
+    """Host-side wiring from the model's raw inference outputs to the
+    (panoptic_seg, segments_info) pair COCOPanopticEvaluator consumes
+    (the role of reference panoptic_seg.py:PanopticDeepLab.inference's
+    processed_results loop).
+
+    Args:
+        sem_logits: [Hp, Wp, C] padded-frame semantic logits.
+        center: [Hp, Wp] (or [Hp, Wp, 1]) center heatmap.
+        offset: [Hp, Wp, 2] offset field.
+        image_size: (h, w) true image size to crop the padded frame to.
+        thing_ids: contiguous ids that are "things".
+
+    Returns:
+        (panoptic [h, w] int32 numpy, segments_info list of dicts with
+        id / category_id (contiguous) / isthing).
+    """
+    import numpy as np
+
+    h, w = int(image_size[0]), int(image_size[1])
+    sem = jnp.argmax(jnp.asarray(sem_logits)[:h, :w], axis=-1).astype(jnp.int32)
+    cen = jnp.asarray(center)
+    if cen.ndim == 3:
+        cen = cen[..., 0]
+    pan, _ = get_panoptic_segmentation(
+        sem,
+        cen[:h, :w],
+        jnp.asarray(offset)[:h, :w],
+        thing_ids,
+        label_divisor=label_divisor,
+        stuff_area=stuff_area,
+        threshold=threshold,
+        nms_kernel=nms_kernel,
+        top_k=top_k,
+    )
+    pan = np.asarray(pan)
+    thing_set = {int(t) for t in thing_ids}
+    segments_info = []
+    for pid in np.unique(pan):
+        if pid == 0:  # VOID
+            continue
+        cat = int(pid) // label_divisor
+        segments_info.append(
+            {
+                "id": int(pid),
+                "category_id": cat,
+                "isthing": cat in thing_set,
+                "area": int((pan == pid).sum()),
+            }
+        )
+    return pan, segments_info

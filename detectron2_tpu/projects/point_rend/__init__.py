@@ -17,8 +17,14 @@ from detectron2_tpu.projects.point_rend.point_features import (
 from detectron2_tpu.projects.point_rend.point_head import StandardPointHead
 from detectron2_tpu.projects.point_rend.coarse_mask_head import CoarseMaskHead
 from detectron2_tpu.projects.point_rend.roi_heads import PointRendROIHeads
+from detectron2_tpu.projects.point_rend.semantic_seg import (
+    PointRendSemSegHead,
+    calculate_uncertainty_sem_seg,
+)
 
 __all__ = [
+    "PointRendSemSegHead",
+    "calculate_uncertainty_sem_seg",
     "add_pointrend_config",
     "point_sample",
     "point_sample_fine_grained_features",

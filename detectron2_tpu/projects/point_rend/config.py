@@ -18,6 +18,8 @@ def add_pointrend_config(cfg):
 
     cfg.MODEL.POINT_HEAD = CN()
     cfg.MODEL.POINT_HEAD.NAME = "StandardPointHead"
+    # the per-pixel head PointRendSemSegHead refines
+    cfg.MODEL.POINT_HEAD.COARSE_SEM_SEG_HEAD_NAME = "SemSegFPNHead"
     cfg.MODEL.POINT_HEAD.NUM_CLASSES = 80
     # fine-grained features come from these (high-res) levels
     cfg.MODEL.POINT_HEAD.IN_FEATURES = ["p2"]

@@ -21,19 +21,24 @@ __all__ = [
 ]
 
 
-def point_sample(x: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear-sample per-roi feature maps at normalized points.
+def point_sample(x: jnp.ndarray, coords: jnp.ndarray, mode: str = "bilinear") -> jnp.ndarray:
+    """Sample per-roi feature maps at normalized points.
 
     Args:
         x: [R, H, W, C] feature maps.
         coords: [R, P, 2] (x, y) in [0, 1] (align_corners=False convention:
             pixel i's center is at (i + 0.5) / size).
+        mode: "bilinear" or "nearest" (for integer label maps).
     Returns:
         [R, P, C] sampled values.
     """
     R, H, W, C = x.shape
     px = coords[..., 0].astype(jnp.float32) * W - 0.5
     py = coords[..., 1].astype(jnp.float32) * H - 0.5
+    if mode == "nearest":
+        yi = jnp.clip(jnp.round(py).astype(jnp.int32), 0, H - 1)
+        xi = jnp.clip(jnp.round(px).astype(jnp.int32), 0, W - 1)
+        return jax.vmap(lambda img, yy, xx: img[yy, xx])(x, yi, xi)
     x0 = jnp.floor(px)
     y0 = jnp.floor(py)
     wx = px - x0

@@ -117,3 +117,82 @@ def test_panoptic_deeplab_e2e():
         top_k=16,
     )
     assert pan.shape == (H, W)
+
+
+def test_panoptic_deeplab_pq_wiring(tmp_path):
+    """Full PQ loop: postprocess -> COCOPanopticEvaluator -> PQ numbers.
+    A perfect prediction of a synthetic panoptic GT must score PQ=100."""
+    import json
+    import cv2
+
+    from detectron2_tpu.data import MetadataCatalog
+    from detectron2_tpu.evaluation.panoptic_evaluation import COCOPanopticEvaluator
+    from detectron2_tpu.projects.panoptic_deeplab import panoptic_deeplab_postprocess
+
+    H, W, C = 40, 48, 4
+    thing_ids = [0]
+    label_divisor = 1000
+
+    # synthetic scene: one thing instance (class 0) on stuff (class 2)
+    sem = np.full((H, W), 2, np.int32)
+    sem[8:24, 10:30] = 0
+    sem_logits = np.full((H, W, C), -10.0, np.float32)
+    sem_logits[np.arange(H)[:, None], np.arange(W)[None], sem] = 10.0
+    center = np.zeros((H, W), np.float32)
+    cy, cx = 16, 20
+    center[cy, cx] = 1.0
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    offset = np.stack([cy - yy, cx - xx], -1).astype(np.float32)
+
+    pan, segments_info = panoptic_deeplab_postprocess(
+        sem_logits, center, offset, (H, W), thing_ids,
+        label_divisor=label_divisor, stuff_area=10, top_k=8,
+    )
+    assert pan.shape == (H, W)
+    cats = sorted(s["category_id"] for s in segments_info)
+    assert cats == [0, 2], segments_info
+    thing_seg = [s for s in segments_info if s["isthing"]][0]
+    assert (pan == thing_seg["id"]).sum() == 16 * 20
+
+    # GT = the prediction itself -> PQ must be 100
+    meta_name = "pq_wiring_test"
+    meta = MetadataCatalog.get(meta_name)
+    meta.thing_dataset_id_to_contiguous_id = {101: 0}
+    meta.stuff_dataset_id_to_contiguous_id = {201: 2}
+    gt_dir = tmp_path / "pan_gt"
+    gt_dir.mkdir()
+    gt_ids = np.zeros((H, W), np.uint32)
+    seg_infos_gt = []
+    for s in segments_info:
+        gid = s["id"]
+        mask = pan == gid
+        gt_ids[mask] = gid
+        seg_infos_gt.append(
+            {
+                "id": int(gid),
+                "category_id": 101 if s["isthing"] else 201,
+                "iscrowd": 0,
+                "area": int(mask.sum()),
+            }
+        )
+    rgb = np.stack([gt_ids % 256, (gt_ids // 256) % 256, gt_ids // (256**2)], -1).astype(np.uint8)
+    cv2.imwrite(str(gt_dir / "im0.png"), rgb[:, :, ::-1])
+    gt_json = {
+        "annotations": [
+            {"image_id": 0, "file_name": "im0.png", "segments_info": seg_infos_gt}
+        ],
+        "categories": [
+            {"id": 101, "isthing": 1, "name": "thing"},
+            {"id": 201, "isthing": 0, "name": "stuff"},
+        ],
+    }
+    json_path = tmp_path / "gt.json"
+    json_path.write_text(json.dumps(gt_json))
+    meta.panoptic_json = str(json_path)
+    meta.panoptic_root = str(gt_dir)
+
+    ev = COCOPanopticEvaluator(meta_name)
+    ev.reset()
+    ev.process({"metadata": [{"image_id": 0}]}, {"panoptic_seg": [(pan, segments_info)]})
+    res = ev.evaluate()["panoptic_seg"]
+    assert abs(res["PQ"] - 100.0) < 1e-6, res

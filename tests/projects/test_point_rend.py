@@ -102,3 +102,47 @@ def test_pointrend_rcnn_train_and_infer():
     # 7 -> 14 -> 28 subdivision
     assert det["pred_masks"].shape == (1, 8, 28, 28)
     assert np.isfinite(np.asarray(det["pred_masks"])).all()
+
+
+def test_pointrend_semseg_head_train_and_infer():
+    """PointRendSemSegHead (reference point_rend/semantic_seg.py): coarse CE
+    + point CE at training; subdivision refinement recovers input stride at
+    inference."""
+    from detectron2_tpu.layers import ShapeSpec
+    from detectron2_tpu.projects.point_rend.semantic_seg import PointRendSemSegHead
+
+    cfg = get_cfg()
+    add_pointrend_config(cfg)
+    cfg.MODEL.SEM_SEG_HEAD.IN_FEATURES = ["p2", "p3"]
+    cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES = 7
+    cfg.MODEL.SEM_SEG_HEAD.CONVS_DIM = 32
+    cfg.MODEL.POINT_HEAD.NUM_CLASSES = 7
+    cfg.MODEL.POINT_HEAD.IN_FEATURES = ["p2"]
+    cfg.MODEL.POINT_HEAD.TRAIN_NUM_POINTS = 32
+    cfg.MODEL.POINT_HEAD.FC_DIM = 16
+    cfg.MODEL.POINT_HEAD.SUBDIVISION_STEPS = 2
+    cfg.MODEL.POINT_HEAD.SUBDIVISION_NUM_POINTS = 64
+    shapes = {"p2": ShapeSpec(channels=8, stride=4), "p3": ShapeSpec(channels=8, stride=8)}
+    head = PointRendSemSegHead.from_config(cfg, shapes)
+
+    rng = np.random.RandomState(0)
+    feats = {
+        "p2": jnp.asarray(rng.randn(2, 16, 16, 8).astype(np.float32)),
+        "p3": jnp.asarray(rng.randn(2, 8, 8, 8).astype(np.float32)),
+    }
+    targets = jnp.asarray(rng.randint(0, 7, (2, 64, 64)).astype(np.int32))
+    params = head.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        feats,
+        targets,
+        train=True,
+    )
+    _, losses = head.apply(
+        params, feats, targets, train=True, rngs={"sampling": jax.random.PRNGKey(2)}
+    )
+    assert set(losses) == {"loss_sem_seg", "loss_sem_seg_point"}
+    assert all(np.isfinite(float(v)) for v in losses.values())
+
+    logits, _ = head.apply(params, feats, train=False)
+    assert logits.shape == (2, 64, 64, 7)
+    assert np.isfinite(np.asarray(logits)).all()
