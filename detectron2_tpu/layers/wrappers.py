@@ -33,6 +33,8 @@ class Conv2d(nn.Module):
     use_bias: bool = True
     norm: Optional[nn.Module] = None
     activation: Optional[Callable] = None
+    bias_init_value: Optional[float] = None  # e.g. focal-loss prior-prob bias
+    kernel_init_std: Optional[float] = None  # normal(std) init (dense-head convention)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -54,7 +56,16 @@ class Conv2d(nn.Module):
             feature_group_count=self.groups,
             use_bias=self.use_bias,
             dtype=x.dtype,
-            kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"),
+            kernel_init=(
+                nn.initializers.normal(self.kernel_init_std)
+                if self.kernel_init_std is not None
+                else nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
+            ),
+            bias_init=(
+                nn.initializers.constant(self.bias_init_value)
+                if self.bias_init_value is not None
+                else nn.initializers.zeros
+            ),
         )(x)
         if self.norm is not None:
             y = self.norm(y, train=train)
