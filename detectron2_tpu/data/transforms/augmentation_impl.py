@@ -84,21 +84,18 @@ class RandomFlip(Augmentation):
 
     def __init__(self, prob=0.5, *, horizontal=True, vertical=False):
         super().__init__()
-        if horizontal and vertical:
-            raise ValueError("Cannot do both horiz and vert. Please use two Flip instead.")
-        if not horizontal and not vertical:
-            raise ValueError("At least one of horiz or vert has to be True!")
+        if horizontal == vertical:
+            raise ValueError(
+                "Exactly one of horizontal/vertical must be set; compose two "
+                "RandomFlip augmentations to get both."
+            )
         self._init(locals())
 
     def get_transform(self, image):
+        if self._rand_range() >= self.prob:
+            return NoOpTransform()
         h, w = image.shape[:2]
-        do = self._rand_range() < self.prob
-        if do:
-            if self.horizontal:
-                return HFlipTransform(w)
-            elif self.vertical:
-                return VFlipTransform(h)
-        return NoOpTransform()
+        return HFlipTransform(w) if self.horizontal else VFlipTransform(h)
 
 
 class Resize(Augmentation):
@@ -122,46 +119,44 @@ class ResizeShortestEdge(Augmentation):
         self, short_edge_length, max_size=sys.maxsize, sample_style="range", interp="bilinear"
     ):
         super().__init__()
-        assert sample_style in ["range", "choice"], sample_style
+        if sample_style not in ("range", "choice"):
+            raise ValueError(f"unknown sample_style {sample_style!r}")
         self.is_range = sample_style == "range"
         if isinstance(short_edge_length, int):
             short_edge_length = (short_edge_length, short_edge_length)
-        if self.is_range:
-            assert len(short_edge_length) == 2, (
-                "short_edge_length must be two values using 'range' sample style."
-                f" Got {short_edge_length}!"
+        if self.is_range and len(short_edge_length) != 2:
+            raise ValueError(
+                f"'range' style needs a (lo, hi) pair, got {short_edge_length}"
             )
         self._init(locals())
 
-    def get_transform(self, image):
-        h, w = image.shape[:2]
+    def _sample_short_edge(self) -> int:
+        lo_hi = self.short_edge_length
         if self.is_range:
-            size = np.random.randint(self.short_edge_length[0], self.short_edge_length[1] + 1)
-        else:
-            size = np.random.choice(self.short_edge_length)
-        if size == 0:
-            return NoOpTransform()
+            return int(np.random.randint(lo_hi[0], lo_hi[1] + 1))
+        return int(np.random.choice(lo_hi))
 
-        newh, neww = ResizeShortestEdge.get_output_shape(h, w, size, self.max_size)
+    def get_transform(self, image):
+        target = self._sample_short_edge()
+        if target == 0:
+            return NoOpTransform()
+        h, w = image.shape[:2]
+        newh, neww = ResizeShortestEdge.get_output_shape(h, w, target, self.max_size)
         return ResizeTransform(h, w, newh, neww, self.interp)
 
     @staticmethod
-    def get_output_shape(oldh: int, oldw: int, short_edge_length: int, max_size: int) -> Tuple[int, int]:
-        """Output (h, w) given input size and target short edge."""
-        h, w = oldh, oldw
-        size = short_edge_length * 1.0
-        scale = size / min(h, w)
-        if h < w:
-            newh, neww = size, scale * w
-        else:
-            newh, neww = scale * h, size
-        if max(newh, neww) > max_size:
-            scale = max_size * 1.0 / max(newh, neww)
-            newh = newh * scale
-            neww = neww * scale
-        neww = int(neww + 0.5)
-        newh = int(newh + 0.5)
-        return (newh, neww)
+    def get_output_shape(
+        oldh: int, oldw: int, short_edge_length: int, max_size: int
+    ) -> Tuple[int, int]:
+        """Output (h, w): short edge scaled to the target, long edge capped at
+        max_size, both rounded half-up — value-identical to the reference
+        (augmentation_impl.py:180-198); the rounding is AP-relevant."""
+        scale = float(short_edge_length) / min(oldh, oldw)
+        nh, nw = oldh * scale, oldw * scale
+        longest = max(nh, nw)
+        if longest > max_size:
+            nh, nw = nh * max_size / longest, nw * max_size / longest
+        return int(nh + 0.5), int(nw + 0.5)
 
 
 class ResizeScale(Augmentation):
@@ -224,29 +219,35 @@ class RandomCrop(Augmentation):
     def get_transform(self, image):
         h, w = image.shape[:2]
         croph, cropw = self.get_crop_size((h, w))
-        assert h >= croph and w >= cropw, f"Shape computation in {self} has bugs."
-        h0 = np.random.randint(h - croph + 1)
-        w0 = np.random.randint(w - cropw + 1)
-        return CropTransform(w0, h0, cropw, croph)
+        if croph > h or cropw > w:
+            raise RuntimeError(f"crop {croph}x{cropw} larger than image {h}x{w} in {self}")
+        y0 = int(np.random.randint(h - croph + 1))
+        x0 = int(np.random.randint(w - cropw + 1))
+        return CropTransform(x0, y0, cropw, croph)
 
     def get_crop_size(self, image_size):
+        """Sampled (crop_h, crop_w). The four styles and their rounding match
+        the reference (augmentation_impl.py:404-435)."""
         h, w = image_size
-        if self.crop_type == "relative":
-            ch, cw = self.crop_size
-            return int(h * ch + 0.5), int(w * cw + 0.5)
-        elif self.crop_type == "relative_range":
-            crop_size = np.asarray(self.crop_size, dtype=np.float32)
-            ch, cw = crop_size + np.random.rand(2) * (1 - crop_size)
-            return int(h * ch + 0.5), int(w * cw + 0.5)
-        elif self.crop_type == "absolute":
-            return (min(self.crop_size[0], h), min(self.crop_size[1], w))
-        elif self.crop_type == "absolute_range":
-            assert self.crop_size[0] <= self.crop_size[1]
-            ch = np.random.randint(min(h, self.crop_size[0]), min(h, self.crop_size[1]) + 1)
-            cw = np.random.randint(min(w, self.crop_size[0]), min(w, self.crop_size[1]) + 1)
-            return ch, cw
+        kind = self.crop_type
+        if kind == "relative":
+            fh, fw = self.crop_size
+        elif kind == "relative_range":
+            lo = np.asarray(self.crop_size, dtype=np.float32)
+            fh, fw = lo + np.random.rand(2) * (1 - lo)
+        elif kind == "absolute":
+            return min(self.crop_size[0], h), min(self.crop_size[1], w)
+        elif kind == "absolute_range":
+            lo, hi = self.crop_size
+            assert lo <= hi, self.crop_size
+            return (
+                int(np.random.randint(min(h, lo), min(h, hi) + 1)),
+                int(np.random.randint(min(w, lo), min(w, hi) + 1)),
+            )
         else:
-            raise NotImplementedError(f"Unknown crop type {self.crop_type}")
+            raise NotImplementedError(f"Unknown crop type {kind}")
+        # the two relative styles share the half-up rounding
+        return int(h * fh + 0.5), int(w * fw + 0.5)
 
 
 class RandomCrop_CategoryAreaConstraint(Augmentation):
@@ -258,21 +259,26 @@ class RandomCrop_CategoryAreaConstraint(Augmentation):
         self.crop_aug = RandomCrop(crop_type, crop_size)
         self._init(locals())
 
+    def _area_ok(self, window) -> bool:
+        """No single (non-ignored) category may dominate the window."""
+        labels, counts = np.unique(window, return_counts=True)
+        if self.ignored_category is not None:
+            counts = counts[labels != self.ignored_category]
+        return len(counts) > 1 and counts.max() < counts.sum() * self.single_category_max_area
+
     def get_transform(self, image, sem_seg):
         if self.single_category_max_area >= 1.0:
             return self.crop_aug.get_transform(image)
+        # up to 10 resamples, keeping the last candidate if none qualifies
+        # (reference augmentation_impl.py:462-476)
         h, w = sem_seg.shape
         for _ in range(10):
-            crop_size = self.crop_aug.get_crop_size((h, w))
-            y0 = np.random.randint(h - crop_size[0] + 1)
-            x0 = np.random.randint(w - crop_size[1] + 1)
-            sem_seg_temp = sem_seg[y0 : y0 + crop_size[0], x0 : x0 + crop_size[1]]
-            labels, cnt = np.unique(sem_seg_temp, return_counts=True)
-            if self.ignored_category is not None:
-                cnt = cnt[labels != self.ignored_category]
-            if len(cnt) > 1 and np.max(cnt) < np.sum(cnt) * self.single_category_max_area:
+            ch, cw = self.crop_aug.get_crop_size((h, w))
+            y0 = int(np.random.randint(h - ch + 1))
+            x0 = int(np.random.randint(w - cw + 1))
+            if self._area_ok(sem_seg[y0 : y0 + ch, x0 : x0 + cw]):
                 break
-        return CropTransform(x0, y0, crop_size[1], crop_size[0])
+        return CropTransform(x0, y0, cw, ch)
 
 
 class RandomExtent(Augmentation):
@@ -284,16 +290,19 @@ class RandomExtent(Augmentation):
         self._init(locals())
 
     def get_transform(self, image):
-        img_h, img_w = image.shape[:2]
-        src_rect = np.array([-0.5 * img_w, -0.5 * img_h, 0.5 * img_w, 0.5 * img_h])
-        src_rect *= np.random.uniform(self.scale_range[0], self.scale_range[1])
-        src_rect[0::2] += self.shift_range[0] * img_w * (np.random.rand() - 0.5)
-        src_rect[1::2] += self.shift_range[1] * img_h * (np.random.rand() - 0.5)
-        src_rect[0::2] += 0.5 * img_w
-        src_rect[1::2] += 0.5 * img_h
+        h, w = image.shape[:2]
+        # a scaled, shifted window around the image center; RNG order (scale,
+        # x-shift, y-shift) matches the reference's distribution
+        s = np.random.uniform(self.scale_range[0], self.scale_range[1])
+        dx = self.shift_range[0] * w * (np.random.rand() - 0.5)
+        dy = self.shift_range[1] * h * (np.random.rand() - 0.5)
+        cx, cy = 0.5 * w + dx, 0.5 * h + dy
+        half_w, half_h = 0.5 * w * s, 0.5 * h * s
+        x0, y0 = cx - half_w, cy - half_h
+        x1, y1 = cx + half_w, cy + half_h
         return ExtentTransform(
-            src_rect=(src_rect[0], src_rect[1], src_rect[2], src_rect[3]),
-            output_size=(int(src_rect[3] - src_rect[1]), int(src_rect[2] - src_rect[0])),
+            src_rect=(x0, y0, x1, y1),
+            output_size=(int(y1 - y0), int(x1 - x0)),
         )
 
 
@@ -359,7 +368,8 @@ class RandomRotation(Augmentation):
 
     def __init__(self, angle, expand=True, center=None, sample_style="range", interp="bilinear"):
         super().__init__()
-        assert sample_style in ["range", "choice"], sample_style
+        if sample_style not in ("range", "choice"):
+            raise ValueError(f"unknown sample_style {sample_style!r}")
         self.is_range = sample_style == "range"
         if isinstance(angle, (float, int)):
             angle = (angle, angle)
@@ -368,13 +378,12 @@ class RandomRotation(Augmentation):
         self._init(locals())
 
     def get_transform(self, image):
-        h, w = image.shape[:2]
-        if self.is_range:
-            angle = np.random.uniform(self.angle[0], self.angle[1])
-        else:
-            angle = np.random.choice(self.angle)
+        angle = (
+            np.random.uniform(*self.angle) if self.is_range else np.random.choice(self.angle)
+        )
         if angle % 360 == 0:
             return NoOpTransform()
+        h, w = image.shape[:2]
         return RotationTransform(
             h, w, angle, expand=self.expand, center=self._sample_center(h, w), interp=self.interp
         )

@@ -400,3 +400,52 @@ if __name__ == "__main__":
         print(f"--- {fn.__name__}")
         fn()
     print("all goldens written to", OUT)
+
+
+def golden_augmentations():
+    """Seeded augmentation policies: with the same np.random seed our policies
+    must emit identical transform parameters (RNG call order is part of the
+    contract we preserve)."""
+    from detectron2.data import transforms as T
+
+    rows = {}
+
+    np.random.seed(42)
+    shapes = []
+    aug = T.ResizeShortestEdge((480, 800), max_size=1333, sample_style="range")
+    for i in range(10):
+        img = np.zeros((np.random.randint(200, 1200), np.random.randint(200, 1200), 3), np.uint8)
+        t = aug.get_transform(img)
+        shapes.append([img.shape[0], img.shape[1], getattr(t, "new_h", img.shape[0]), getattr(t, "new_w", img.shape[1])])
+    rows["resize_shortest"] = np.array(shapes, np.int64)
+
+    np.random.seed(7)
+    crops = []
+    for ct, cs in [("relative", (0.7, 0.6)), ("relative_range", (0.4, 0.4)),
+                   ("absolute", (300, 250)), ("absolute_range", (200, 400))]:
+        aug = T.RandomCrop(ct, cs)
+        img = np.zeros((600, 900, 3), np.uint8)
+        for i in range(5):
+            t = aug.get_transform(img)
+            crops.append([t.x0, t.y0, t.w, t.h])
+    rows["random_crop"] = np.array(crops, np.int64)
+
+    np.random.seed(3)
+    exts = []
+    aug = T.RandomExtent((0.6, 1.4), (0.3, 0.3))
+    img = np.zeros((480, 640, 3), np.uint8)
+    for i in range(8):
+        t = aug.get_transform(img)
+        exts.append(list(t.src_rect) + list(t.output_size))
+    rows["random_extent"] = np.array(exts, np.float64)
+
+    np.random.seed(11)
+    rots = []
+    aug = T.RandomRotation([-30, 30], expand=True, sample_style="range")
+    img = np.zeros((300, 400, 3), np.uint8)
+    for i in range(8):
+        t = aug.get_transform(img)
+        rots.append([getattr(t, "angle", 0.0)])
+    rows["random_rotation"] = np.array(rots, np.float64)
+
+    save("augmentations", **rows)

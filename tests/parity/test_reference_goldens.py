@@ -234,3 +234,53 @@ def test_roi_align_vs_independent_oracle():
     out = roi_align(feat, boxes, bidx, (7, 7), spatial_scale=0.5, sampling_ratio=2, aligned=False)
     out = np.transpose(np.asarray(out), (0, 3, 1, 2))
     np.testing.assert_allclose(out, g["out_legacy"], rtol=1e-4, atol=1e-4)
+
+
+# ------------------------------------------------------------------ augmentations
+
+
+def test_seeded_augmentations_match_reference():
+    """With identical np.random seeds our augmentation policies must emit the
+    reference's exact transform parameters — RNG call order inside each
+    policy is part of the preserved contract (training recipes depend on the
+    sampled distributions)."""
+    from detectron2_tpu.data import transforms as T
+
+    g = load("augmentations")
+
+    np.random.seed(42)
+    aug = T.ResizeShortestEdge((480, 800), max_size=1333, sample_style="range")
+    for h, w, nh, nw in g["resize_shortest"]:
+        img = np.zeros((np.random.randint(200, 1200), np.random.randint(200, 1200), 3), np.uint8)
+        assert img.shape[:2] == (h, w)
+        t = aug.get_transform(img)
+        assert (getattr(t, "new_h", h), getattr(t, "new_w", w)) == (nh, nw)
+
+    np.random.seed(7)
+    i = 0
+    for ct, cs in [
+        ("relative", (0.7, 0.6)),
+        ("relative_range", (0.4, 0.4)),
+        ("absolute", (300, 250)),
+        ("absolute_range", (200, 400)),
+    ]:
+        aug = T.RandomCrop(ct, cs)
+        img = np.zeros((600, 900, 3), np.uint8)
+        for _ in range(5):
+            t = aug.get_transform(img)
+            np.testing.assert_array_equal([t.x0, t.y0, t.w, t.h], g["random_crop"][i])
+            i += 1
+
+    np.random.seed(3)
+    aug = T.RandomExtent((0.6, 1.4), (0.3, 0.3))
+    img = np.zeros((480, 640, 3), np.uint8)
+    for row in g["random_extent"]:
+        t = aug.get_transform(img)
+        np.testing.assert_allclose(list(t.src_rect) + list(t.output_size), row, rtol=1e-9)
+
+    np.random.seed(11)
+    aug = T.RandomRotation([-30, 30], expand=True, sample_style="range")
+    img = np.zeros((300, 400, 3), np.uint8)
+    for (angle,) in g["random_rotation"]:
+        t = aug.get_transform(img)
+        np.testing.assert_allclose(getattr(t, "angle", 0.0), angle, rtol=1e-9)
