@@ -1,21 +1,64 @@
 """DensePose (reference projects/DensePose/densepose/): dense human surface
 correspondence — per-pixel body-part index I and per-part (U, V) chart
-coordinates predicted per detected person.
+coordinates, or a continuous surface embedding (CSE), predicted per person.
 
-Round-1 scope: the chart-based baseline (DensePoseChartHead + point-supervised
-IUV losses + the ROI heads wiring). DensePose ground truth IS a sparse point
-annotation set (~100 points/person), so the TPU formulation samples predicted
-IUV maps at the annotated points with the shared point_sample primitive —
-no dense rasterization. CSE embeddings, confidences, and the DensePose-specific
-evaluators (GPS/GPSM) are not yet implemented.
+Components:
+- chart baseline: DensePoseChartHead + point-supervised IUV losses
+  (DensePose GT IS a sparse point set, ~100 points/person, so the TPU
+  formulation samples predicted maps at the annotated points — no dense
+  rasterization);
+- UV confidences: iid-isotropic / independent-anisotropic NLL losses with
+  sigma/kappa prediction channels (confidences.py);
+- CSE: per-mesh vertex embedders + softmax embedding loss + per-pixel
+  embedding head (cse.py, DensePoseCSEHead);
+- evaluation: GPS / GPSM AP with pluggable mesh geodesics (evaluation.py).
 
 Batch contract (train), padded per instance with P point slots:
 ``gt_dp_points`` [B, G, P, 2] absolute xy, ``gt_dp_part`` [B, G, P] int in
-[0, 24] (-1 pad), ``gt_dp_u`` / ``gt_dp_v`` [B, G, P] float in [0, 1].
+[0, 24] (-1 pad), ``gt_dp_u`` / ``gt_dp_v`` [B, G, P] float in [0, 1];
+CSE training additionally uses ``gt_dp_vertex`` [B, G, P] int (-1 pad).
 """
 
 from detectron2_tpu.projects.densepose.config import add_densepose_config
-from detectron2_tpu.projects.densepose.densepose_head import DensePoseChartHead
+from detectron2_tpu.projects.densepose.cse import (
+    Embedder,
+    VertexDirectEmbedder,
+    VertexFeatureEmbedder,
+    closest_vertices_from_embedding,
+    cse_embedding_loss,
+    normalize_embeddings,
+    squared_euclidean_distance_matrix,
+)
+from detectron2_tpu.projects.densepose.confidences import (
+    iid_isotropic_gaussian_uv_loss,
+    indep_anisotropic_gaussian_uv_loss,
+)
+from detectron2_tpu.projects.densepose.densepose_head import (
+    DensePoseChartHead,
+    DensePoseCSEHead,
+)
+from detectron2_tpu.projects.densepose.evaluation import (
+    DensePoseCOCOEvaluator,
+    MeshDistanceProvider,
+    SmplDistanceProvider,
+)
 from detectron2_tpu.projects.densepose.roi_heads import DensePoseROIHeads
 
-__all__ = ["add_densepose_config", "DensePoseChartHead", "DensePoseROIHeads"]
+__all__ = [
+    "add_densepose_config",
+    "DensePoseChartHead",
+    "DensePoseCSEHead",
+    "DensePoseROIHeads",
+    "Embedder",
+    "VertexDirectEmbedder",
+    "VertexFeatureEmbedder",
+    "cse_embedding_loss",
+    "closest_vertices_from_embedding",
+    "normalize_embeddings",
+    "squared_euclidean_distance_matrix",
+    "iid_isotropic_gaussian_uv_loss",
+    "indep_anisotropic_gaussian_uv_loss",
+    "DensePoseCOCOEvaluator",
+    "MeshDistanceProvider",
+    "SmplDistanceProvider",
+]

@@ -25,3 +25,17 @@ def add_densepose_config(cfg):
     cfg.MODEL.ROI_DENSEPOSE_HEAD.PART_WEIGHTS = 1.0
     cfg.MODEL.ROI_DENSEPOSE_HEAD.POINT_REGRESSION_WEIGHTS = 0.01
     cfg.MODEL.ROI_DENSEPOSE_HEAD.DECODER_ON = False
+
+    # UV confidence modeling (reference config.py add_densepose_head_config:
+    # UV_CONFIDENCE; Neverova et al. NeurIPS 2019)
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.UV_CONFIDENCE = CN({"ENABLED": False})
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.UV_CONFIDENCE.TYPE = "iid_iso"  # iid_iso | indep_aniso
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.UV_CONFIDENCE.EPSILON = 0.01
+
+    # Continuous Surface Embeddings (reference config.py add_densepose_head_cse_config)
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE = CN()
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE.EMBED_SIZE = 16
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE.EMBED_LOSS_WEIGHT = 0.6
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE.EMBEDDING_DIST_GAUSS_SIGMA = 0.01
+    # (mesh_name, num_vertices) pairs; smpl_27554 is the DensePose-COCO mesh
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE.EMBEDDERS = [["smpl_27554", 27554]]

@@ -40,17 +40,38 @@ class DensePoseROIHeads(StandardROIHeads):
     index_weight: float = 5.0
     part_weight: float = 1.0
     point_regression_weight: float = 0.01
+    uv_confidence: str = "none"  # none | iid_iso | indep_aniso
+    cse_embedder: Optional[nn.Module] = None
+    cse_mesh_name: str = "smpl_27554"
+    embdist_gauss_sigma: float = 0.01
+    embed_loss_weight: float = 0.6
 
     @classmethod
     def from_config(cls, cfg, input_shape):
         base = StandardROIHeads.from_config.__func__(cls, cfg, input_shape)
         h = cfg.MODEL.ROI_DENSEPOSE_HEAD
+        cse_embedder = None
+        mesh_name = "smpl_27554"
+        if cfg.MODEL.DENSEPOSE_ON and h.NAME == "DensePoseCSEHead":
+            from detectron2_tpu.projects.densepose.cse import Embedder
+
+            specs = tuple(
+                (name, int(n), int(h.CSE.EMBED_SIZE)) for name, n in h.CSE.EMBEDDERS
+            )
+            cse_embedder = Embedder(mesh_specs=specs)
+            mesh_name = specs[0][0]
+        conf = h.UV_CONFIDENCE
         return base.clone(
             densepose_head=build_densepose_head(cfg) if cfg.MODEL.DENSEPOSE_ON else None,
             densepose_pooler_resolution=h.POOLER_RESOLUTION,
             index_weight=h.INDEX_WEIGHTS,
             part_weight=h.PART_WEIGHTS,
             point_regression_weight=h.POINT_REGRESSION_WEIGHTS,
+            uv_confidence=conf.TYPE if conf.ENABLED else "none",
+            cse_embedder=cse_embedder,
+            cse_mesh_name=mesh_name,
+            embdist_gauss_sigma=h.CSE.EMBEDDING_DIST_GAUSS_SIGMA,
+            embed_loss_weight=h.CSE.EMBED_LOSS_WEIGHT,
         )
 
     # the densepose branch piggybacks on the mask hooks so the standard
@@ -86,6 +107,9 @@ class DensePoseROIHeads(StandardROIHeads):
 
         pooled = self._pooler(self.densepose_pooler_resolution)(feats, boxes_flat, batch_idx)
         out = self.densepose_head(pooled, train=True)
+
+        if self.cse_embedder is not None:
+            return self._cse_losses(out, boxes_flat, fg_gt_idx, valid_flat, targets, B, Rf)
         K = out["fine_segm"].shape[-1]
 
         # matched gt annotations -> proposal frame
@@ -121,16 +145,76 @@ class DensePoseROIHeads(StandardROIHeads):
         loss_coarse = (-logp_c[..., 1] * w).sum() / jnp.maximum(w.sum(), 1.0)
 
         # u/v regression on the GT part channel
-        u_at = jnp.take_along_axis(point_sample(out["u"], coords), part_cls[..., None], axis=-1)[..., 0]
-        v_at = jnp.take_along_axis(point_sample(out["v"], coords), part_cls[..., None], axis=-1)[..., 0]
-        loss_u = (smooth_l1_loss(u_at, gt_u, beta=0.0) * w).sum() / jnp.maximum(w.sum(), 1.0)
-        loss_v = (smooth_l1_loss(v_at, gt_v, beta=0.0) * w).sum() / jnp.maximum(w.sum(), 1.0)
+        def at_part(channel_map):
+            return jnp.take_along_axis(
+                point_sample(channel_map, coords), part_cls[..., None], axis=-1
+            )[..., 0]
 
-        return {
+        u_at = at_part(out["u"])
+        v_at = at_part(out["v"])
+        losses = {
             "loss_densepose_I": loss_index * self.part_weight,
             "loss_densepose_S": loss_coarse * self.index_weight,
-            "loss_densepose_U": loss_u * self.point_regression_weight,
-            "loss_densepose_V": loss_v * self.point_regression_weight,
+        }
+        if self.uv_confidence == "none":
+            loss_u = (smooth_l1_loss(u_at, gt_u, beta=0.0) * w).sum() / jnp.maximum(w.sum(), 1.0)
+            loss_v = (smooth_l1_loss(v_at, gt_v, beta=0.0) * w).sum() / jnp.maximum(w.sum(), 1.0)
+            losses["loss_densepose_U"] = loss_u * self.point_regression_weight
+            losses["loss_densepose_V"] = loss_v * self.point_regression_weight
+        else:
+            from detectron2_tpu.projects.densepose.confidences import (
+                iid_isotropic_gaussian_uv_loss,
+                indep_anisotropic_gaussian_uv_loss,
+            )
+
+            sigma_at = at_part(out["sigma_2"])
+            if self.uv_confidence == "iid_iso":
+                loss_uv = iid_isotropic_gaussian_uv_loss(
+                    u_at, v_at, sigma_at, gt_u, gt_v, w
+                )
+            else:  # indep_aniso
+                loss_uv = indep_anisotropic_gaussian_uv_loss(
+                    u_at, v_at, sigma_at, at_part(out["kappa_u"]), at_part(out["kappa_v"]),
+                    gt_u, gt_v, w,
+                )
+            losses["loss_densepose_UV"] = loss_uv * self.point_regression_weight
+        return losses
+
+    def _cse_losses(self, out, boxes_flat, fg_gt_idx, valid_flat, targets, B, Rf):
+        """CSE branch: coarse-segm CE at annotated points + softmax embedding
+        loss against the mesh vertex embeddings (reference losses/embed.py)."""
+        from detectron2_tpu.projects.densepose.cse import cse_embedding_loss
+
+        P = targets["gt_dp_points"].shape[2]
+        pts = jnp.take_along_axis(
+            targets["gt_dp_points"], fg_gt_idx[..., None, None], axis=1
+        ).reshape(B * Rf, P, 2)
+        vert = jnp.take_along_axis(
+            targets["gt_dp_vertex"], fg_gt_idx[..., None], axis=1
+        ).reshape(B * Rf, P)
+
+        coords, _, weights = get_point_coords_from_point_annotation(
+            boxes_flat, pts, jnp.where(vert >= 0, 1, -1)
+        )
+        w = weights * valid_flat[:, None]  # [R, P]
+
+        coarse_at = point_sample(out["coarse_segm"], coords)
+        logp_c = jax.nn.log_softmax(coarse_at, axis=-1)
+        loss_coarse = (-logp_c[..., 1] * w).sum() / jnp.maximum(w.sum(), 1.0)
+
+        emb_at = point_sample(out["embedding"], coords)  # [R, P, D]
+        mesh_emb = self.cse_embedder(self.cse_mesh_name)  # [K, D]
+        D = emb_at.shape[-1]
+        loss_embed = cse_embedding_loss(
+            emb_at.reshape(-1, D),
+            vert.reshape(-1),
+            (w > 0).reshape(-1),
+            mesh_emb,
+            self.embdist_gauss_sigma,
+        )
+        return {
+            "loss_densepose_S": loss_coarse * self.index_weight,
+            f"loss_densepose_E_{self.cse_mesh_name}": loss_embed * self.embed_loss_weight,
         }
 
     def _forward_densepose_inference(self, feats, detections):
@@ -139,6 +223,20 @@ class DensePoseROIHeads(StandardROIHeads):
         batch_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), D)
         pooled = self._pooler(self.densepose_pooler_resolution)(feats, boxes_flat, batch_idx)
         out = self.densepose_head(pooled, train=False)
+
+        if self.cse_embedder is not None:
+            # CSE result format: per-pixel embedding + fg mask; closest-vertex
+            # lookup happens host-side / in the evaluator (the [HW, K] argmin
+            # over 27k vertices is not worth a per-step device pass)
+            M = out["embedding"].shape[1]
+            D_emb = out["embedding"].shape[-1]
+            fg = jnp.argmax(out["coarse_segm"], axis=-1) > 0  # [R, M, M]
+            detections["pred_densepose_embedding"] = out["embedding"].reshape(
+                B, D, M, M, D_emb
+            )
+            detections["pred_densepose_fg"] = fg.reshape(B, D, M, M)
+            return detections
+
         M = out["fine_segm"].shape[1]
         # per-pixel part label + its U/V (the chart result format)
         part = jnp.argmax(out["fine_segm"], axis=-1)  # [R, M, M]

@@ -76,3 +76,235 @@ def test_densepose_rcnn_train_and_infer():
     dp = np.asarray(det["pred_densepose"])
     assert np.isfinite(dp).all()
     assert (dp[..., 1:] >= 0).all() and (dp[..., 1:] <= 1).all()
+
+
+def test_uv_confidence_losses():
+    """Confidence NLLs (reference chart_with_confidences.py): at zero error
+    and fixed sigma, the iso loss equals its analytic value; higher sigma at
+    nonzero error trades penalty correctly; aniso reduces to iso at kappa=0."""
+    from detectron2_tpu.projects.densepose import (
+        iid_isotropic_gaussian_uv_loss,
+        indep_anisotropic_gaussian_uv_loss,
+    )
+
+    P = 16
+    u = jnp.zeros((1, P))
+    v = jnp.zeros((1, P))
+    w = jnp.ones((1, P))
+    sig = jnp.full((1, P), 0.0)  # softplus(0) = log 2
+    lb = 0.01
+    sigma2 = np.log(2) + lb
+    expected = 0.5 * (np.log(2 * np.pi) + 2 * np.log(sigma2))
+    got = float(iid_isotropic_gaussian_uv_loss(u, v, sig, u, v, w, lb))
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+    # aniso with kappa=0 == iso
+    k0 = jnp.zeros((1, P))
+    tu = u + 0.3
+    iso = float(iid_isotropic_gaussian_uv_loss(u, v, sig, tu, v, w, lb))
+    aniso = float(indep_anisotropic_gaussian_uv_loss(u, v, sig, k0, k0, tu, v, w, lb))
+    np.testing.assert_allclose(aniso, iso, rtol=1e-5)
+
+    # error along r is discounted relative to orthogonal error
+    ku = jnp.full((1, P), 2.0)
+    along = float(indep_anisotropic_gaussian_uv_loss(u, v, sig, ku, k0, tu, v, w, lb))
+    ortho = float(indep_anisotropic_gaussian_uv_loss(u, v, sig, k0, ku, tu, v, w, lb))
+    assert along < ortho
+
+
+def test_cse_embedding_loss_learns_identity():
+    """The softmax embedding loss is minimized when pixel embeddings equal
+    their GT vertex embeddings, and padded points are ignored."""
+    from detectron2_tpu.projects.densepose import cse_embedding_loss, normalize_embeddings
+
+    rng = np.random.RandomState(0)
+    K, D, P = 32, 8, 12
+    mesh = normalize_embeddings(jnp.asarray(rng.randn(K, D).astype(np.float32)))
+    ids = jnp.asarray(rng.randint(0, K, P).astype(np.int32))
+    valid = jnp.ones(P, bool)
+
+    perfect = mesh[ids]
+    rand = jnp.asarray(rng.randn(P, D).astype(np.float32))
+    l_good = float(cse_embedding_loss(perfect, ids, valid, mesh, 0.01))
+    l_bad = float(cse_embedding_loss(rand, ids, valid, mesh, 0.01))
+    assert l_good < l_bad
+
+    # invalid points don't contribute: corrupting them changes nothing
+    valid2 = valid.at[0].set(False)
+    l1 = float(cse_embedding_loss(perfect, ids, valid2, mesh, 0.01))
+    corrupted = perfect.at[0].set(-perfect[0])
+    l2 = float(cse_embedding_loss(corrupted, ids, valid2, mesh, 0.01))
+    np.testing.assert_allclose(l1, l2, rtol=1e-6)
+
+
+def test_closest_vertices_roundtrip():
+    from detectron2_tpu.projects.densepose import (
+        closest_vertices_from_embedding,
+        normalize_embeddings,
+    )
+
+    rng = np.random.RandomState(1)
+    K, D = 64, 8
+    mesh = normalize_embeddings(jnp.asarray(rng.randn(K, D).astype(np.float32)))
+    ids = rng.randint(0, K, (5, 7))
+    out = closest_vertices_from_embedding(mesh[jnp.asarray(ids)], mesh, chunk=16)
+    np.testing.assert_array_equal(np.asarray(out), ids)
+
+
+def test_densepose_cse_train_and_infer():
+    """CSE head end-to-end: embedding loss + coarse segm at train, per-pixel
+    embeddings at inference."""
+    cfg = _cfg()
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.NAME = "DensePoseCSEHead"
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE.EMBED_SIZE = 8
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE.EMBEDDERS = [["testmesh", 64]]
+    model = build_model(cfg)
+
+    rng = np.random.RandomState(0)
+    G, P = 3, 10
+    xy = rng.rand(1, G, 2) * 24
+    wh = rng.rand(1, G, 2) * 20 + 8
+    boxes = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+    frac = rng.rand(1, G, P, 2).astype(np.float32)
+    pts = boxes[..., None, :2] + frac * (boxes[..., None, 2:] - boxes[..., None, :2])
+    vert = rng.randint(0, 64, (1, G, P)).astype(np.int32)
+    vert[0, :, -2:] = -1
+    batch = {
+        "image": jnp.asarray(rng.randint(0, 255, (1, 64, 64, 3)).astype(np.float32)),
+        "image_sizes": jnp.asarray([[64, 64]], jnp.int32),
+        "gt_boxes": jnp.asarray(boxes),
+        "gt_classes": jnp.asarray(np.zeros((1, G), np.int32)),
+        "gt_valid": jnp.ones((1, G), bool),
+        "gt_dp_points": jnp.asarray(pts),
+        "gt_dp_vertex": jnp.asarray(vert),
+    }
+    v = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        batch,
+        train=True,
+    )
+    losses = model.apply(v, batch, train=True, rngs={"sampling": jax.random.PRNGKey(2)})
+    assert "loss_densepose_E_testmesh" in losses and "loss_densepose_S" in losses
+    assert all(np.isfinite(float(x)) for x in losses.values())
+
+    out = model.apply(
+        v, {"image": batch["image"], "image_sizes": batch["image_sizes"]}, train=False
+    )
+    assert "pred_densepose_embedding" in out and "pred_densepose_fg" in out
+    assert out["pred_densepose_embedding"].shape[-1] == 8
+
+
+def test_densepose_gps_evaluator_perfect_prediction():
+    """GPS evaluator: a detection predicting exactly the GT chart points
+    scores AP=100 with a synthetic mesh provider; a wrong one scores lower."""
+    from detectron2_tpu.data import MetadataCatalog
+    from detectron2_tpu.projects.densepose import DensePoseCOCOEvaluator, MeshDistanceProvider
+
+    class GridProvider(MeshDistanceProvider):
+        """Vertices = (part, u, v) quantized to a grid; geodesic = euclidean
+        in (u, v) within a part, far otherwise."""
+
+        Q = 16
+
+        def closest_vertices(self, part, u, v):
+            qu = np.clip((np.asarray(u) * self.Q).astype(int), 0, self.Q - 1)
+            qv = np.clip((np.asarray(v) * self.Q).astype(int), 0, self.Q - 1)
+            return np.asarray(part, int) * self.Q * self.Q + qv * self.Q + qu
+
+        def distances(self, a, b):
+            pa, pb = a // (self.Q**2), b // (self.Q**2)
+            ua, va = (a % self.Q) / self.Q, (a % (self.Q**2)) // self.Q / self.Q
+            ub, vb = (b % self.Q) / self.Q, (b % (self.Q**2)) // self.Q / self.Q
+            d = np.sqrt((ua - ub) ** 2 + (va - vb) ** 2)
+            return np.where(pa == pb, d, 10.0)
+
+        def norm_coeffs(self, parts):
+            return np.full(len(parts), 0.255)
+
+    MetadataCatalog.get("dp_eval_test")  # register empty metadata
+    ev = DensePoseCOCOEvaluator("dp_eval_test", GridProvider(), mode="gps")
+
+    rng = np.random.RandomState(0)
+    M, npts = 28, 20
+    gt_bbox = [10.0, 20.0, 56.0, 56.0]
+    dp_x = rng.rand(npts) * 255
+    dp_y = rng.rand(npts) * 255
+    dp_I = rng.randint(1, 5, npts)
+    dp_U = rng.rand(npts)
+    dp_V = rng.rand(npts)
+    gt = {"bbox": gt_bbox, "dp_x": dp_x, "dp_y": dp_y, "dp_I": dp_I, "dp_U": dp_U, "dp_V": dp_V}
+
+    # perfect prediction: IUV map that reproduces the GT at every annotated point
+    iuv = np.zeros((M, M, 3), np.float32)
+    gx = np.clip((dp_x / 255.0 * M).astype(int), 0, M - 1)
+    gy = np.clip((dp_y / 255.0 * M).astype(int), 0, M - 1)
+    iuv[gy, gx, 0] = dp_I
+    iuv[gy, gx, 1] = dp_U
+    iuv[gy, gx, 2] = dp_V
+
+    ev.set_ground_truth({0: [gt]})
+    ev.reset()
+    ev.process(
+        None,
+        [{"image_id": 0, "instances": [{"bbox": gt_bbox, "score": 0.9, "densepose": iuv}]}],
+    )
+    res = ev.evaluate()["densepose"]
+    np.testing.assert_allclose(res["AP"], 100.0, atol=1e-6)
+
+    # a detection with wrong parts everywhere scores < 100
+    bad = iuv.copy()
+    bad[..., 0] = (bad[..., 0] + 7) % 24
+    ev.reset()
+    ev.process(
+        None,
+        [{"image_id": 0, "instances": [{"bbox": gt_bbox, "score": 0.9, "densepose": bad}]}],
+    )
+    res_bad = ev.evaluate()["densepose"]
+    assert res_bad["AP"] < 50.0
+
+    # GPSM mode: perfect boxes + perfect points still give AP 100
+    ev2 = DensePoseCOCOEvaluator("dp_eval_test", GridProvider(), mode="gpsm")
+    ev2.set_ground_truth({0: [gt]})
+    ev2.reset()
+    ev2.process(
+        None,
+        [{"image_id": 0, "instances": [{"bbox": gt_bbox, "score": 0.9, "densepose": iuv}]}],
+    )
+    res2 = ev2.evaluate()["densepose"]
+    np.testing.assert_allclose(res2["AP-GPSm"], 100.0, atol=1e-6)
+
+
+def test_densepose_chart_confidence_train():
+    """Chart head with iid_iso UV confidence: sigma channel + UV NLL loss."""
+    cfg = _cfg()
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.UV_CONFIDENCE.ENABLED = True
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.UV_CONFIDENCE.TYPE = "iid_iso"
+    model = build_model(cfg)
+
+    rng = np.random.RandomState(0)
+    G, P = 3, 10
+    xy = rng.rand(1, G, 2) * 24
+    wh = rng.rand(1, G, 2) * 20 + 8
+    boxes = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+    frac = rng.rand(1, G, P, 2).astype(np.float32)
+    pts = boxes[..., None, :2] + frac * (boxes[..., None, 2:] - boxes[..., None, :2])
+    part = rng.randint(0, 24, (1, G, P)).astype(np.int32)
+    batch = {
+        "image": jnp.asarray(rng.randint(0, 255, (1, 64, 64, 3)).astype(np.float32)),
+        "image_sizes": jnp.asarray([[64, 64]], jnp.int32),
+        "gt_boxes": jnp.asarray(boxes),
+        "gt_classes": jnp.asarray(np.zeros((1, G), np.int32)),
+        "gt_valid": jnp.ones((1, G), bool),
+        "gt_dp_points": jnp.asarray(pts),
+        "gt_dp_part": jnp.asarray(part),
+        "gt_dp_u": jnp.asarray(rng.rand(1, G, P).astype(np.float32)),
+        "gt_dp_v": jnp.asarray(rng.rand(1, G, P).astype(np.float32)),
+    }
+    v = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        batch,
+        train=True,
+    )
+    losses = model.apply(v, batch, train=True, rngs={"sampling": jax.random.PRNGKey(2)})
+    assert "loss_densepose_UV" in losses and "loss_densepose_U" not in losses
+    assert all(np.isfinite(float(x)) for x in losses.values())
