@@ -67,3 +67,34 @@ def test_out_of_bounds_boxes():
     out = rap.roi_align_pallas_multilevel(*args, sampling_ratio=2)
     assert np.isfinite(np.asarray(out)).all()
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_extreme_aspect_ratio_boxes():
+    """Boxes beyond the kernel's DMA window aspect limits (>19:1 both ways,
+    plus level-clamped giants): the clamped-window approximation must stay
+    within a small error of the exact XLA formulation — this bounds the
+    'negligible AP' claim in roi_align_pallas.py's window-clamp note."""
+    feats, _, _, _ = _setup(R=6)
+    boxes = jnp.asarray(
+        [
+            [2.0, 40.0, 190.0, 44.0],  # 47:1 wide
+            [60.0, 1.0, 64.0, 120.0],  # 1:30 tall
+            [0.0, 0.0, 191.0, 8.0],  # full-width sliver
+            [0.0, 0.0, 190.0, 126.0],  # giant box on the fine level
+            [10.0, 10.0, 180.0, 20.0],  # 17:1 (inside limits, control)
+            [20.0, 20.0, 60.0, 60.0],  # normal (control)
+        ],
+        jnp.float32,
+    )
+    bidx = jnp.zeros(6, jnp.int32)
+    lvl = jnp.asarray([0, 0, 0, 0, 0, 0], jnp.int32)
+    args = (feats, boxes, bidx, lvl, ("0", "1"), (0.25, 0.125), (7, 7))
+    ref = np.asarray(roi_align_multilevel(*args, sampling_ratio=2))
+    out = np.asarray(rap.roi_align_pallas_multilevel(*args, sampling_ratio=2))
+    assert np.isfinite(out).all()
+    # controls must be exact
+    np.testing.assert_allclose(out[4:], ref[4:], rtol=1e-4, atol=1e-4)
+    # clamped extremes: bounded relative error on the pooled features
+    denom = np.maximum(np.abs(ref[:4]).mean(axis=(1, 2, 3), keepdims=True), 1e-3)
+    rel = np.abs(out[:4] - ref[:4]).mean(axis=(1, 2, 3), keepdims=True) / denom
+    assert (rel < 0.15).all(), f"clamped-window error too large: {rel.ravel()}"
