@@ -190,7 +190,30 @@ class Detectron2Handler(PathHandler):
         return open(self._get_local_path(path), mode, **kwargs)
 
 
+class ModelCatalogHandler(PathHandler):
+    """Resolve legacy ``catalog://`` names through checkpoint.catalog
+    (reference checkpoint/catalog.py ModelCatalogHandler)."""
+
+    PREFIX = "catalog://"
+
+    def __init__(self, http_handler: HTTPURLHandler) -> None:
+        self._http = http_handler
+
+    def _get_supported_prefixes(self) -> List[str]:
+        return [self.PREFIX]
+
+    def _get_local_path(self, path: str, **kwargs: Any) -> str:
+        from detectron2_tpu.checkpoint.catalog import resolve_catalog_url
+
+        return self._http._get_local_path(resolve_catalog_url(path), **kwargs)
+
+    def _open(self, path: str, mode: str = "r", **kwargs: Any) -> IO[Any]:
+        assert "w" not in mode and "a" not in mode
+        return open(self._get_local_path(path), mode, **kwargs)
+
+
 PathManager = PathManagerBase()
 _http_handler = HTTPURLHandler()
 PathManager.register_handler(_http_handler)
 PathManager.register_handler(Detectron2Handler(_http_handler))
+PathManager.register_handler(ModelCatalogHandler(_http_handler))

@@ -76,3 +76,20 @@ def test_repeat_factor_sampler_stream():
     long = list(itertools.islice(iter(RepeatFactorTrainingSampler(rf, shuffle=True, seed=0)), 500))
     counts = np.bincount(long, minlength=4)
     assert counts[1] > 1.5 * counts[0]
+
+
+def test_grouped_batch_sampler():
+    """GroupedBatchSampler (reference grouped_batch_sampler.py): every batch
+    is homogeneous in group id and preserves base-sampler order per group."""
+    from detectron2_tpu.data.samplers import GroupedBatchSampler
+
+    group_ids = [0, 1, 0, 1, 0, 1, 0, 1, 0, 0]
+    base = list(range(10))
+    batches = list(GroupedBatchSampler(iter(base), group_ids, 3))
+    for b in batches:
+        gs = {group_ids[i] for i in b}
+        assert len(gs) == 1, b
+        assert len(b) == 3
+    # order within groups preserved
+    g0 = [i for b in batches for i in b if group_ids[i] == 0]
+    assert g0 == sorted(g0)

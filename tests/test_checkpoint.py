@@ -121,3 +121,26 @@ def test_native_save_resume_roundtrip(tmp_path):
     got = np.asarray(cp2.params.params["params"]["backbone"]["stem"]["conv1"]["kernel"])
     want = np.asarray(variables["params"]["backbone"]["stem"]["conv1"]["kernel"])
     np.testing.assert_array_equal(got, want)
+
+
+def test_model_catalog_urls():
+    """catalog:// scheme (reference checkpoint/catalog.py): names resolve to
+    the public bucket URLs; unknown names raise."""
+    import pytest
+
+    from detectron2_tpu.checkpoint.catalog import ModelCatalog, resolve_catalog_url
+
+    url = resolve_catalog_url("catalog://ImageNetPretrained/MSRA/R-50")
+    assert url == "https://dl.fbaipublicfiles.com/detectron/ImageNetPretrained/MSRA/R-50.pkl"
+
+    url = resolve_catalog_url("catalog://Caffe2Detectron/COCO/35858933/e2e_mask_rcnn_R-50-FPN_1x")
+    assert url.startswith("https://dl.fbaipublicfiles.com/detectron/35858933/")
+    assert url.endswith("model_final.pkl")
+    assert "generalized_rcnn" in url
+
+    rpn_url = resolve_catalog_url("catalog://Caffe2Detectron/COCO/35998355/rpn_R-50-C4_1x")
+    assert "/rpn/" in rpn_url
+
+    assert resolve_catalog_url("/local/path.pkl") == "/local/path.pkl"
+    with pytest.raises(RuntimeError):
+        ModelCatalog.get("nonexistent/name")
