@@ -122,3 +122,34 @@ def test_mapper_eval_mode_strips_annotations(coco_dir):
     m = mapper(dicts[0])
     assert "instances" not in m or m.get("instances") is None or len(m["instances"]) == 0
     assert m["height"] == 60 and m["width"] == 80  # original size kept for postprocess
+
+
+def test_builtin_registration_breadth():
+    """All builtin dataset families register (reference builtin.py:101-259):
+    COCO (+panoptic both flavors), LVIS v0.5/v1, Cityscapes (instance+semseg),
+    PascalVOC, ADE20k."""
+    from detectron2_tpu.data import DatasetCatalog, MetadataCatalog
+
+    registered = set(MetadataCatalog.list())
+    for name in [
+        "coco_2017_train",
+        "coco_2017_val_100",
+        "keypoints_coco_2017_val_100",
+        "coco_2017_val_panoptic",
+        "coco_2017_val_panoptic_separated",
+        "lvis_v1_train",
+        "lvis_v0.5_val",
+        "lvis_v0.5_val_cocofied",
+        "cityscapes_fine_instance_seg_train",
+        "cityscapes_fine_sem_seg_val",
+        "voc_2007_test",
+        "voc_2012_trainval",
+        "ade20k_sem_seg_train",
+        "ade20k_sem_seg_val",
+    ]:
+        assert name in registered, name
+        assert name in DatasetCatalog.list(), name
+
+    assert MetadataCatalog.get("voc_2007_test").evaluator_type == "pascal_voc"
+    assert MetadataCatalog.get("cityscapes_fine_instance_seg_val").evaluator_type == "cityscapes_instance"
+    assert len(MetadataCatalog.get("ade20k_sem_seg_val").stuff_classes) == 150
