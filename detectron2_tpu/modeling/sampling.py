@@ -49,11 +49,11 @@ def subsample_labels_padded(
     k1, k2 = jax.random.split(key)
     r = jax.random.uniform(k1, (N,))
 
-    # random rank among positives: rank < num_pos_target keeps priority
-    pos_key = jnp.where(positive, r, jnp.inf)
-    pos_order = jnp.argsort(pos_key)
-    pos_rank = jnp.zeros((N,), jnp.int32).at[pos_order].set(jnp.arange(N, dtype=jnp.int32))
-    keep_pos = positive & (pos_rank < num_pos_target)
+    # uniform subset of positives capped at num_pos_target: membership in the
+    # top-k of random keys (top_k beats a full argsort over ~200k anchors)
+    pos_key = jnp.where(positive, r, -jnp.inf)
+    _, pos_top = jax.lax.top_k(pos_key, min(num_pos_target, N))
+    keep_pos = jnp.zeros((N,), bool).at[pos_top].set(True) & positive
 
     r2 = jax.random.uniform(k2, (N,))
     # priority bands: chosen positives (2), negatives (1), everything else 0;

@@ -129,3 +129,39 @@ def test_roi_align_jit_and_channels():
     out = f(feat, boxes, bidx)
     assert out.shape == (10, 7, 7, 8)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_hybrid_backward_transpose_matches_vjp():
+    """The hand-written transpose scatter (_roi_align_ml_transpose) must equal
+    jax.vjp of the XLA formulation — it replaces the vjp in the train path to
+    avoid re-running the gather forward inside the backward."""
+    import importlib
+
+    ra = importlib.import_module("detectron2_tpu.ops.roi_align")
+
+    rng = np.random.RandomState(0)
+    C = 16
+    feats = {
+        "0": jnp.asarray(rng.rand(2, 32, 48, C).astype(np.float32)),
+        "1": jnp.asarray(rng.rand(2, 16, 24, C).astype(np.float32)),
+    }
+    for R, out_size in [(24, (7, 7)), (700, (14, 14))]:
+        xy = rng.rand(R, 2) * 100
+        wh = rng.rand(R, 2) * 60 + 8
+        boxes = jnp.asarray(np.concatenate([xy, xy + wh], 1).astype(np.float32))
+        boxes = boxes.at[0].set(jnp.asarray([-30.0, -30.0, 10.0, 10.0]))
+        bidx = jnp.asarray(rng.randint(0, 2, R), jnp.int32)
+        lvl = jnp.asarray(rng.randint(0, 2, R), jnp.int32)
+        g = jnp.asarray(rng.rand(R, *out_size, C).astype(np.float32))
+        args = (boxes, bidx, lvl, ("0", "1"), (0.25, 0.125), out_size)
+
+        _, vjp = jax.vjp(lambda f: ra._roi_align_multilevel_xla(f, *args, 2, True), feats)
+        (d_ref,) = vjp(g)
+        d_hyb, d_boxes, _, _ = ra._roi_align_ml_hybrid_bwd(
+            ("0", "1"), (0.25, 0.125), out_size, 2, (feats, boxes, bidx, lvl), g
+        )
+        for k in feats:
+            np.testing.assert_allclose(
+                np.asarray(d_hyb[k]), np.asarray(d_ref[k]), rtol=1e-3, atol=1e-3
+            )
+        assert float(jnp.abs(d_boxes).max()) == 0.0
