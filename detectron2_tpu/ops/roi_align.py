@@ -205,6 +205,12 @@ def roi_align_multilevel(
             and jax.default_backend() not in ("cpu",)
             and os.environ.get("D2T_DISABLE_PALLAS", "0") != "1"
         )
+    import os as _os
+
+    if _os.environ.get("D2T_ROIALIGN_STOPGRAD", "0") == "1":
+        # measurement-only flag: kills the pooler backward to quantify its
+        # cost in the train step (NOT valid for real training)
+        features = jax.tree_util.tree_map(jax.lax.stop_gradient, features)
     if use_pallas and aligned:
         return _roi_align_ml_hybrid(
             features,

@@ -19,16 +19,12 @@ def main():
 
     mask_on = "--no-mask" not in sys.argv
 
+    # the PRODUCTION FPN config (box pooler 7x7, pre-NMS 2000/level) — the
+    # yacs defaults are the C4 conventions (14x14, 12000) and overstate the
+    # pooler-backward + NMS cost ~4x
     cfg = get_cfg()
-    cfg.MODEL.BACKBONE.NAME = "build_resnet_fpn_backbone"
-    cfg.MODEL.RESNETS.OUT_FEATURES = ["res2", "res3", "res4", "res5"]
-    cfg.MODEL.FPN.IN_FEATURES = ["res2", "res3", "res4", "res5"]
-    cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[32], [64], [128], [256], [512]]
-    cfg.MODEL.RPN.IN_FEATURES = ["p2", "p3", "p4", "p5", "p6"]
-    cfg.MODEL.ROI_HEADS.NAME = "StandardROIHeads"
-    cfg.MODEL.ROI_HEADS.IN_FEATURES = ["p2", "p3", "p4", "p5"]
-    cfg.MODEL.ROI_BOX_HEAD.NUM_FC = 2
-    cfg.MODEL.ROI_MASK_HEAD.NUM_CONV = 4
+    cfg.merge_from_file("configs/COCO-InstanceSegmentation/mask_rcnn_R_50_FPN_1x.yaml")
+    cfg.MODEL.WEIGHTS = ""
     cfg.MODEL.MASK_ON = mask_on
     model = build_model(cfg)
 
