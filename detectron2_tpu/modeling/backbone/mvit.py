@@ -61,7 +61,7 @@ class MultiScaleAttention(nn.Module):
         head_dim = self.dim_out // self.num_heads
         scale = head_dim**-0.5
 
-        qkv = nn.Dense(3 * self.dim_out, name="qkv")(x)  # [B,H,W,3*dim_out]
+        qkv = nn.Dense(3 * self.dim_out, name="qkv", dtype=x.dtype)(x)  # [B,H,W,3*dim_out]
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         q = _PoolConv(self.dim_out, self.q_stride, name="pool_q")(q)
@@ -93,7 +93,7 @@ class MultiScaleAttention(nn.Module):
         if self.residual_pooling:
             out = out + q
 
-        return nn.Dense(self.dim_out, name="proj")(out)
+        return nn.Dense(self.dim_out, name="proj", dtype=x.dtype)(out)
 
 
 class MViTBlock(nn.Module):
@@ -125,14 +125,14 @@ class MViTBlock(nn.Module):
             shortcut = nn.max_pool(
                 shortcut, (self.q_stride, self.q_stride), strides=(self.q_stride, self.q_stride)
             ) if self.q_stride > 1 else shortcut
-            shortcut = nn.Dense(self.dim_out, name="proj_residual")(
+            shortcut = nn.Dense(self.dim_out, name="proj_residual", dtype=x.dtype)(
                 LayerNorm(self.dim, name="norm_residual")(shortcut)
             )
         x = shortcut + x
         y = LayerNorm(self.dim_out, name="norm2")(x)
-        y = nn.Dense(int(self.dim_out * self.mlp_ratio), name="mlp_fc1")(y)
+        y = nn.Dense(int(self.dim_out * self.mlp_ratio), dtype=x.dtype, name="mlp_fc1")(y)
         y = nn.gelu(y, approximate=False)
-        y = nn.Dense(self.dim_out, name="mlp_fc2")(y)
+        y = nn.Dense(self.dim_out, name="mlp_fc2", dtype=x.dtype)(y)
         return x + y
 
 

@@ -55,7 +55,7 @@ class WindowAttention(nn.Module):
         )
         rel_index = jnp.asarray(_rel_pos_index(self.window_size))  # [N, N]
 
-        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, name="qkv", dtype=x.dtype)(x)
         qkv = qkv.reshape(Bn, N, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]  # [Bn, nH, N, hd]
 
@@ -71,7 +71,7 @@ class WindowAttention(nn.Module):
         attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhqk,bhkc->bhqc", attn, v, preferred_element_type=jnp.float32).astype(v.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(Bn, N, self.dim)
-        return nn.Dense(self.dim, name="proj")(out)
+        return nn.Dense(self.dim, name="proj", dtype=x.dtype)(out)
 
 
 class SwinBlock(nn.Module):
@@ -129,9 +129,9 @@ class SwinBlock(nn.Module):
 
         x = shortcut + x
         y = LayerNorm(self.dim, name="norm2")(x)
-        y = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1")(y)
+        y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=x.dtype, name="mlp_fc1")(y)
         y = nn.gelu(y, approximate=False)
-        y = nn.Dense(self.dim, name="mlp_fc2")(y)
+        y = nn.Dense(self.dim, name="mlp_fc2", dtype=x.dtype)(y)
         return x + y
 
 
@@ -152,7 +152,7 @@ class PatchMerging(nn.Module):
             B, H // 2, W // 2, 4 * C
         )
         x = LayerNorm(4 * C, name="norm")(x)
-        return nn.Dense(2 * self.dim, use_bias=False, name="reduction")(x)
+        return nn.Dense(2 * self.dim, use_bias=False, name="reduction", dtype=x.dtype)(x)
 
 
 class SwinTransformer(Backbone):

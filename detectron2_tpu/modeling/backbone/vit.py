@@ -109,7 +109,9 @@ class Attention(nn.Module):
         head_dim = self.dim // self.num_heads
         scale = head_dim**-0.5
 
-        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, name="qkv")(x.reshape(B, H * W, C))
+        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=x.dtype, name="qkv")(
+            x.reshape(B, H * W, C)
+        )
         qkv = qkv.reshape(B, H * W, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
         # [3, B, nHeads, HW, hd] -> merge batch and heads
         q, k, v = (t.reshape(B * self.num_heads, H * W, head_dim) for t in qkv)
@@ -130,7 +132,7 @@ class Attention(nn.Module):
         # flash path on TPU; windowed blocks (S = 196) use the XLA einsum
         x = attention_with_rel_pos(q, k, v, rel_h, rel_w, scale=scale)
         x = x.reshape(B, self.num_heads, H * W, head_dim).transpose(0, 2, 1, 3).reshape(B, H, W, self.dim)
-        return nn.Dense(self.dim, name="proj")(x)
+        return nn.Dense(self.dim, dtype=x.dtype, name="proj")(x)
 
 
 class Mlp(nn.Module):
@@ -139,9 +141,9 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden, name="fc1")(x)
+        x = nn.Dense(self.hidden, dtype=x.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
-        return nn.Dense(self.out, name="fc2")(x)
+        return nn.Dense(self.out, dtype=x.dtype, name="fc2")(x)
 
 
 class Block(nn.Module):

@@ -30,7 +30,9 @@ __all__ = ["flash_attention"]
 
 def _kernel(q_ref, k_ref, v_ref, rel_h_ref, rel_w_ref, o_ref, *, block_k, w_k, scale, has_bias):
     """One (batch-head, q-block) grid step."""
-    q = q_ref[0].astype(jnp.float32) * scale  # [bq, D]
+    # keep q/k in their native dtype (bf16 on TPU): the MXU runs bf16 x bf16
+    # -> f32 at full rate; upcasting inputs first would halve matmul speed
+    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)  # [bq, D]
     S = k_ref.shape[1]
     bq = q.shape[0]
     n_kb = S // block_k
@@ -41,34 +43,39 @@ def _kernel(q_ref, k_ref, v_ref, rel_h_ref, rel_w_ref, o_ref, *, block_k, w_k, s
     acc = jnp.zeros((bq, q.shape[1]), jnp.float32)
 
     if has_bias:
-        # Mosaic cannot reshape [bq, r, w_k] -> [bq, block_k] in-register, so
-        # the bias tile is built with two MXU matmuls against constant 0/1
-        # expansion matrices:  bias = rh @ Eh + rw @ Ew, where
-        #   Eh[i, kk] = 1 iff kk // w_k == i   (repeat each row-factor w_k x)
-        #   Ew[i, kk] = 1 iff kk %  w_k == i   (tile the col-factor r times)
-        kk = jax.lax.broadcasted_iota(jnp.int32, (r, block_k), 1)
-        row = jax.lax.broadcasted_iota(jnp.int32, (r, block_k), 0)
-        expand_h = (kk // w_k == row).astype(jnp.float32)  # [r, bk]
+        # Mosaic cannot reshape [bq, r, w_k] -> [bq, block_k] in-register (nor
+        # dynamically lane-slice rel_h per k-block), so the bias tile is built
+        # with MXU matmuls against 0/1 selection matrices:
+        #   bias_j = rel_h_full @ Eh(j) + rel_w_full @ Ew, where
+        #   Eh(j)[i, kk] = 1 iff i == j*r + kk // w_k  (block j's row factors)
+        #   Ew[i, kk]    = 1 iff kk % w_k == i         (k-block invariant)
+        h_k = rel_h_ref.shape[-1]
+        kk_h = jax.lax.broadcasted_iota(jnp.int32, (h_k, block_k), 1)
+        row_h = jax.lax.broadcasted_iota(jnp.int32, (h_k, block_k), 0)
         kkw = jax.lax.broadcasted_iota(jnp.int32, (w_k, block_k), 1)
         roww = jax.lax.broadcasted_iota(jnp.int32, (w_k, block_k), 0)
         expand_w = (kkw % w_k == roww).astype(jnp.float32)  # [Wk, bk]
+        rh_full = rel_h_ref[0].astype(jnp.float32)  # [bq, Hk]
         rw_full = rel_w_ref[0].astype(jnp.float32)  # [bq, Wk]
         bias_w = jax.lax.dot_general(
             rw_full, expand_w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [bq, bk] — k-block invariant (kk % w_k cycles identically per block)
+        )  # [bq, bk]
 
-    for j in range(n_kb):
-        kblk = k_ref[0, j * block_k : (j + 1) * block_k].astype(jnp.float32)  # [bk, D]
-        vblk = v_ref[0, j * block_k : (j + 1) * block_k]
+    def body(j, carry):
+        # fori_loop (not an unrolled python loop): unrolling n_kb iterations
+        # blows the Mosaic scoped-vmem stack at ViT-B scale (96 batch-heads)
+        m, l, acc = carry
+        kblk = k_ref[0, pl.ds(j * block_k, block_k)]  # [bk, D]
+        vblk = v_ref[0, pl.ds(j * block_k, block_k)]
 
         s = jax.lax.dot_general(
             q, kblk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [bq, bk]
 
         if has_bias:
-            rh = rel_h_ref[0, :, j * r : (j + 1) * r].astype(jnp.float32)  # [bq, r]
+            sel_h = (row_h == j * r + kk_h // w_k).astype(jnp.float32)  # [Hk, bk]
             s += jax.lax.dot_general(
-                rh, expand_h, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                rh_full, sel_h, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
             )
             s += bias_w
 
@@ -79,8 +86,9 @@ def _kernel(q_ref, k_ref, v_ref, rel_h_ref, rel_w_ref, o_ref, *, block_k, w_k, s
         acc = acc * corr + jax.lax.dot_general(
             p.astype(vblk.dtype), vblk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-        m = m_new
+        return m_new, l, acc
 
+    m, l, acc = jax.lax.fori_loop(0, n_kb, body, (m, l, acc))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
