@@ -5,16 +5,8 @@ from detectron2_tpu.parallel import TrainState, make_train_step
 from detectron2_tpu.solver import build_optimizer
 
 cfg = get_cfg()
-cfg.MODEL.BACKBONE.NAME = "build_resnet_fpn_backbone"
-cfg.MODEL.RESNETS.OUT_FEATURES = ["res2","res3","res4","res5"]
-cfg.MODEL.FPN.IN_FEATURES = ["res2","res3","res4","res5"]
-cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[32],[64],[128],[256],[512]]
-cfg.MODEL.RPN.IN_FEATURES = ["p2","p3","p4","p5","p6"]
-cfg.MODEL.ROI_HEADS.NAME = "StandardROIHeads"
-cfg.MODEL.ROI_HEADS.IN_FEATURES = ["p2","p3","p4","p5"]
-cfg.MODEL.ROI_BOX_HEAD.NUM_FC = 2
-cfg.MODEL.ROI_MASK_HEAD.NUM_CONV = 4
-cfg.MODEL.MASK_ON = True
+cfg.merge_from_file("configs/COCO-InstanceSegmentation/mask_rcnn_R_50_FPN_1x.yaml")
+cfg.MODEL.WEIGHTS = ""
 cfg.SOLVER.MAX_ITER = 1000
 model = build_model(cfg)
 
@@ -39,7 +31,7 @@ k = jax.random.PRNGKey(3)
 state2, losses = step(state, batch, k)
 jax.block_until_ready(losses["total_loss"])
 print("compiled")
-with jax.profiler.trace("/tmp/jaxtrace_train"):
+with jax.profiler.trace("/tmp/jaxtrace_prod"):
     for i in range(2):
         state2, losses = step(state, batch, jax.random.fold_in(k, i))
     float(np.asarray(losses["total_loss"]))
