@@ -157,11 +157,10 @@ def test_hybrid_backward_transpose_matches_vjp():
 
         _, vjp = jax.vjp(lambda f: ra._roi_align_multilevel_xla(f, *args, 2, True), feats)
         (d_ref,) = vjp(g)
-        d_hyb, d_boxes, _, _ = ra._roi_align_ml_hybrid_bwd(
-            ("0", "1"), (0.25, 0.125), out_size, 2, (feats, boxes, bidx, lvl), g
+        d_trans = ra._roi_align_ml_transpose(
+            g, feats, boxes, bidx, lvl, ("0", "1"), (0.25, 0.125), out_size, 2
         )
         for k in feats:
             np.testing.assert_allclose(
-                np.asarray(d_hyb[k]), np.asarray(d_ref[k]), rtol=1e-3, atol=1e-3
+                np.asarray(d_trans[k]), np.asarray(d_ref[k]), rtol=1e-3, atol=1e-3
             )
-        assert float(jnp.abs(d_boxes).max()) == 0.0
