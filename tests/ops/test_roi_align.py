@@ -164,3 +164,59 @@ def test_hybrid_backward_transpose_matches_vjp():
             np.testing.assert_allclose(
                 np.asarray(d_trans[k]), np.asarray(d_ref[k]), rtol=1e-3, atol=1e-3
             )
+
+
+def test_windowed_transpose_adjoint_of_pallas_forward():
+    """_roi_align_ml_transpose_window must (a) equal the exact transpose for
+    unclamped boxes and (b) satisfy the adjoint identity <fwd(f), g> ==
+    <f, bwd(g)> against the Pallas forward — clamping included — since it
+    shares the kernel's _precompute geometry."""
+    import functools
+    import importlib
+
+    from jax.experimental import pallas as pl
+
+    import detectron2_tpu.ops.pallas.roi_align_pallas as rap
+
+    ra = importlib.import_module("detectron2_tpu.ops.roi_align")
+
+    rng = np.random.RandomState(0)
+    C = 16
+    feats = {
+        "0": jnp.asarray(rng.rand(2, 32, 48, C).astype(np.float32)),
+        "1": jnp.asarray(rng.rand(2, 16, 24, C).astype(np.float32)),
+    }
+    R = 24
+    xy = rng.rand(R, 2) * 100
+    wh = rng.rand(R, 2) * 50 + 8
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], 1).astype(np.float32))
+    bidx = jnp.asarray(rng.randint(0, 2, R), jnp.int32)
+    lvl = jnp.asarray(rng.randint(0, 2, R), jnp.int32)
+    g = jnp.asarray(rng.rand(R, 7, 7, C).astype(np.float32))
+    args = (boxes, bidx, lvl, ("0", "1"), (0.25, 0.125), (7, 7), 2)
+
+    d_exact = ra._roi_align_ml_transpose(g, feats, *args)
+    d_win = ra._roi_align_ml_transpose_window(g, feats, *args)
+    for k in feats:
+        np.testing.assert_allclose(
+            np.asarray(d_win[k]), np.asarray(d_exact[k]), rtol=1e-4, atol=1e-4
+        )
+
+    # adjoint identity vs the pallas forward in interpret mode (incl. clamped giants)
+    xy = rng.rand(R, 2) * 80
+    wh = rng.rand(R, 2) * 120 + 8
+    boxes2 = jnp.asarray(np.concatenate([xy, xy + wh], 1).astype(np.float32))
+    orig = pl.pallas_call
+    pl.pallas_call = functools.partial(orig, interpret=True)
+    try:
+        out = rap.roi_align_pallas_multilevel(
+            feats, boxes2, bidx, lvl, ("0", "1"), (0.25, 0.125), (7, 7), sampling_ratio=2
+        )
+    finally:
+        pl.pallas_call = orig
+    lhs = float((out * g).sum())
+    d = ra._roi_align_ml_transpose_window(
+        g, feats, boxes2, bidx, lvl, ("0", "1"), (0.25, 0.125), (7, 7), 2
+    )
+    rhs = float(sum((feats[k] * d[k]).sum() for k in feats))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-4)
