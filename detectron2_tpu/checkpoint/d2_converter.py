@@ -55,6 +55,9 @@ def flax_path_to_d2_name(path: Tuple[str, ...]) -> str:
         if any(seg.startswith(m) for m in _NORM_SEGMENTS):
             segs.append("norm")
             continue
+        if seg == "conv2_norm":  # DeformBottleneckBlock's deform-conv norm
+            segs.extend(["conv2", "norm"])
+            continue
         # res2_0 -> res2.0 style stage blocks
         parts = seg.rsplit("_", 1)
         if len(parts) == 2 and parts[1].isdigit() and parts[0].startswith("res"):
@@ -69,25 +72,34 @@ def flax_path_to_d2_name(path: Tuple[str, ...]) -> str:
     return ".".join(segs + [leaf])
 
 
-def _to_flax_layout(value: np.ndarray, target_shape) -> np.ndarray:
+def _to_flax_layout(value: np.ndarray, target_shape, conv_transpose: bool = False) -> np.ndarray:
     """Transpose a torch-layout array into the flax layout expected by
     target_shape, verifying shapes."""
     value = np.asarray(value)
-    if value.shape == tuple(target_shape):
-        return value
-    if value.ndim == 4:
-        # torch conv OIHW -> flax HWIO
-        cand = value.transpose(2, 3, 1, 0)
-        if cand.shape == tuple(target_shape):
-            return cand
-        # torch conv-transpose IOHW -> flax HWIO
-        cand = value.transpose(2, 3, 0, 1)
-        if cand.shape == tuple(target_shape):
-            return cand
+    # layout rules come FIRST: a square torch linear [out, in] has the same
+    # shape as the flax [in, out] target, and a shapes-equal early return
+    # would silently skip the transpose (loading W instead of W^T)
     if value.ndim == 2:
         cand = value.T
         if cand.shape == tuple(target_shape):
             return cand
+    if value.ndim == 4:
+        # torch conv is OIHW, torch conv-TRANSPOSE is IOHW; for square
+        # kernels both permutations match the target shape, so the caller
+        # must say which module kind owns the leaf. Additionally torch's
+        # ConvTranspose2d applies the kernel spatially FLIPPED relative to
+        # flax's ConvTranspose (verified bit-exact in
+        # tests/test_checkpoint.py::test_convtranspose_layout) — flip h/w.
+        if conv_transpose:
+            cand = value.transpose(2, 3, 0, 1)[::-1, ::-1]
+            if cand.shape == tuple(target_shape):
+                return np.ascontiguousarray(cand)
+        for perm in [(2, 3, 1, 0), (2, 3, 0, 1)]:
+            cand = value.transpose(*perm)
+            if cand.shape == tuple(target_shape):
+                return cand
+    if value.ndim <= 1 and value.shape == tuple(target_shape):
+        return value
     raise ValueError(f"Cannot map array of shape {value.shape} to {tuple(target_shape)}")
 
 
@@ -118,9 +130,10 @@ def convert_d2_state_dict(state_dict: Dict[str, Any], params) -> Tuple[Any, str]
         # holder object whose attr paths come first
         name_keys = tuple(k for k in keys if k not in ("params", "batch_stats", "frozen"))
         d2_name = flax_path_to_d2_name(name_keys)
+        is_deconv = any(k.startswith("ConvTranspose") for k in keys)
         if d2_name in state_dict:
             try:
-                arr = _to_flax_layout(state_dict[d2_name], leaf.shape)
+                arr = _to_flax_layout(state_dict[d2_name], leaf.shape, conv_transpose=is_deconv)
                 new_leaves.append(arr.astype(np.asarray(leaf).dtype))
                 used.add(d2_name)
             except ValueError as e:

@@ -141,8 +141,19 @@ def get_norm(norm: Any, out_channels: int):
             or a callable taking the channel count.
 
     Returns:
-        a flax module instance, or None (reference batch_norm.py:169).
+        a norm-module FACTORY (call with optional flax kwargs, e.g.
+        ``get_norm("GN", c)(name="norm")``), or None
+        (reference batch_norm.py:169).
+
+    Returning a factory instead of an instance matters for parameter paths:
+    flax registers a module under the scope where it is INSTANTIATED, so a
+    norm constructed at block level and passed into Conv2d would land at
+    ``block/FrozenBatchNorm2d_N`` (ambiguous between the block's convs) —
+    Conv2d instantiates the factory inside its own scope as ``conv*/norm``,
+    matching the reference's ``convN.norm`` checkpoint names.
     """
+    import functools
+
     if norm is None:
         return None
     if isinstance(norm, str):
@@ -159,5 +170,5 @@ def get_norm(norm: Any, out_channels: int):
         }
         if norm not in norm_map:
             raise KeyError(f"Unknown norm type: {norm}")
-        return norm_map[norm](features=out_channels)
-    return norm(out_channels)
+        return functools.partial(norm_map[norm], features=out_channels)
+    return functools.partial(norm, out_channels)

@@ -68,7 +68,11 @@ class Conv2d(nn.Module):
             ),
         )(x)
         if self.norm is not None:
-            y = self.norm(y, train=train)
+            # get_norm returns a factory: instantiate INSIDE this scope so the
+            # params land at <conv_name>/norm (the reference's convN.norm);
+            # module instances are still accepted for back-compat
+            norm = self.norm if isinstance(self.norm, nn.Module) else self.norm(name="norm")
+            y = norm(y, train=train)
         if self.activation is not None:
             y = self.activation(y)
         return y

@@ -248,7 +248,7 @@ class DeformBottleneckBlock(nn.Module):
         )
         norm2 = get_norm(self.norm, self.bottleneck_channels)
         if norm2 is not None:
-            out = norm2(out, train=train)
+            out = norm2(name="conv2_norm")(out, train=train)
         out = nn.relu(out)
 
         out = Conv2d(

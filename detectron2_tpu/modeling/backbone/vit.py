@@ -307,7 +307,7 @@ class SimpleFeaturePyramid(Backbone):
             y = features
             if scale == 4.0:
                 y = ConvTranspose2d(features=dim // 2, kernel_size=2, strides=2, name=f"up4_deconv1_{idx}")(y, train=train)
-                y = get_norm(self.norm, dim // 2)(y)
+                y = get_norm(self.norm, dim // 2)(name=f"up4_norm_{idx}")(y)
                 y = nn.gelu(y, approximate=False)
                 y = ConvTranspose2d(features=dim // 4, kernel_size=2, strides=2, name=f"up4_deconv2_{idx}")(y, train=train)
                 out_dim = dim // 4

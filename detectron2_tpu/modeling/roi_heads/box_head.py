@@ -38,7 +38,10 @@ class FastRCNNConvFCHead(nn.Module):
                 name=f"conv{i + 1}",
             )(x, train=train)
         if len(self.fc_dims):
-            x = x.reshape(x.shape[0], -1)
+            # flatten in torch's CHW order: the d2 zoo fc1 weight is laid out
+            # for [R, C*h*w] inputs — flattening HWC here would silently
+            # permute fc1's input features when loading converted checkpoints
+            x = x.transpose(0, 3, 1, 2).reshape(x.shape[0], -1)
             for i, dim in enumerate(self.fc_dims):
                 x = nn.Dense(
                     dim,

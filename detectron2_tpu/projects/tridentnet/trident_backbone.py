@@ -63,6 +63,7 @@ class TridentBottleneckBlock(nn.Module):
         )(outs)
         norm2 = get_norm(self.norm, self.bottleneck_channels)
         if norm2 is not None:
+            norm2 = norm2(name="conv2_norm")
             outs = [norm2(o, train=train) for o in outs]
         outs = [nn.relu(o) for o in outs]
 

@@ -449,3 +449,132 @@ def golden_augmentations():
     rows["random_rotation"] = np.array(rots, np.float64)
 
     save("augmentations", **rows)
+
+
+def synth_weight_value(name: str, shape) -> np.ndarray:
+    """Deterministic per-name synthetic weight: the test regenerates the SAME
+    values from the vendored (name, shape) list, so the 45MB weight blob never
+    needs to be stored."""
+    import zlib
+
+    rng = np.random.RandomState(zlib.crc32(name.encode()) & 0x7FFFFFFF)
+    if name.endswith("running_var"):
+        return (np.abs(rng.standard_normal(shape)) * 0.5 + 0.5).astype(np.float32)
+    if name.endswith("running_mean"):
+        return (rng.standard_normal(shape) * 0.1).astype(np.float32)
+    return (rng.standard_normal(shape) * 0.05).astype(np.float32)
+
+
+def _e2e_cfg_ref():
+    from detectron2.config import get_cfg
+
+    cfg = get_cfg()
+    cfg.MODEL.DEVICE = "cpu"
+    cfg.MODEL.META_ARCHITECTURE = "GeneralizedRCNN"
+    cfg.MODEL.BACKBONE.NAME = "build_resnet_fpn_backbone"
+    cfg.MODEL.RESNETS.DEPTH = 18
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 64
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.FPN.IN_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.FPN.OUT_CHANNELS = 64
+    cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[32], [64], [128], [256], [512]]
+    cfg.MODEL.RPN.IN_FEATURES = ["p2", "p3", "p4", "p5", "p6"]
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 200
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 100
+    cfg.MODEL.ROI_HEADS.NAME = "StandardROIHeads"
+    cfg.MODEL.ROI_HEADS.IN_FEATURES = ["p2", "p3", "p4", "p5"]
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 7
+    cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST = 0.0
+    cfg.MODEL.ROI_BOX_HEAD.NAME = "FastRCNNConvFCHead"
+    cfg.MODEL.ROI_BOX_HEAD.NUM_FC = 2
+    cfg.MODEL.ROI_BOX_HEAD.FC_DIM = 128
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 7
+    # static sampling on both sides: our fixed-shape RoIAlign uses a static
+    # 2-sample grid where the reference's sampling_ratio=0 adapts per roi
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO = 2
+    cfg.MODEL.ROI_MASK_HEAD.NAME = "MaskRCNNConvUpsampleHead"
+    cfg.MODEL.ROI_MASK_HEAD.NUM_CONV = 2
+    cfg.MODEL.ROI_MASK_HEAD.CONV_DIM = 64
+    cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION = 14
+    cfg.MODEL.ROI_MASK_HEAD.POOLER_SAMPLING_RATIO = 2
+    cfg.MODEL.MASK_ON = True
+    cfg.TEST.DETECTIONS_PER_IMAGE = 50
+    return cfg
+
+
+def golden_e2e_maskrcnn():
+    """Full Mask R-CNN R18-FPN inference golden: the reference model with
+    deterministic synthetic weights on a fixed image. The test regenerates
+    the weights, writes them as a d2-format .pkl, loads them through OUR
+    checkpointer/converter into OUR model, and must reproduce these
+    detections — the end-to-end numeric pin for the whole inference stack
+    including the weight converter."""
+    from detectron2.modeling import build_model
+
+    cfg = _e2e_cfg_ref()
+    model = build_model(cfg)
+    model.eval()
+
+    sd = model.state_dict()
+    names, shapes = [], []
+    new_sd = {}
+    for k, v in sd.items():
+        if k.endswith(("num_batches_tracked",)) or "cell_anchors" in k or "pixel_" in k:
+            new_sd[k] = v
+            continue
+        arr = synth_weight_value(k, tuple(v.shape))
+        new_sd[k] = torch.from_numpy(arr)
+        names.append(k)
+        shapes.append(",".join(map(str, v.shape)))
+    model.load_state_dict(new_sd)
+
+    rng = np.random.RandomState(123)
+    img = rng.randint(0, 255, (320, 320, 3)).astype(np.uint8)
+    inp = {
+        "image": torch.from_numpy(img.transpose(2, 0, 1)).float(),
+        "height": 320,
+        "width": 320,
+    }
+    with torch.no_grad():
+        out = model([inp])[0]["instances"]
+
+        # intermediate stages for bisection
+        images = model.preprocess_image([inp])
+        feats = model.backbone(images.tensor)
+        proposals, _ = model.proposal_generator(images, feats, None)
+        from detectron2.structures import Boxes as _Boxes
+        box_feats = model.roi_heads.box_pooler(
+            [feats[f] for f in model.roi_heads.box_in_features],
+            [proposals[0].proposal_boxes],
+        )
+        fc_out = model.roi_heads.box_head(box_feats)
+
+        # raw 28x28 mask probabilities for the top-10 final detections
+        mask_feats = model.roi_heads.mask_pooler(
+            [feats[f] for f in model.roi_heads.mask_in_features],
+            [out.pred_boxes[:10]],
+        )
+        mask_logits = model.roi_heads.mask_head.layers(mask_feats)
+        cls10 = out.pred_classes[:10]
+        mask_probs10 = torch.sigmoid(
+            mask_logits[torch.arange(len(cls10)), cls10]
+        )
+
+    masks = t2n(out.pred_masks[:10]).astype(np.uint8) if out.has("pred_masks") else np.zeros(0)
+    inter = {f"feat_{k}": t2n(v) for k, v in feats.items()}
+    save(
+        "e2e_maskrcnn_r18",
+        image=img,
+        weight_names=np.array(names),
+        weight_shapes=np.array(shapes),
+        out_boxes=t2n(out.pred_boxes.tensor),
+        out_scores=t2n(out.scores),
+        out_classes=t2n(out.pred_classes),
+        out_masks10=masks,
+        prop_boxes=t2n(proposals[0].proposal_boxes.tensor),
+        prop_logits=t2n(proposals[0].objectness_logits),
+        box_pooled=t2n(box_feats),
+        box_fc=t2n(fc_out),
+        mask_probs10=t2n(mask_probs10),
+        **inter,
+    )

@@ -294,9 +294,12 @@ def _bilinear(plane: torch.Tensor, y: float, x: float) -> torch.Tensor:
 def _tv_roi_align(
     input, boxes, output_size, spatial_scale=1.0, sampling_ratio=-1, aligned=False
 ):
-    """Slow-but-exact ROIAlign from the published definition (Mask R-CNN
-    paper + torchvision docs): average of bilinear samples on a regular grid
-    inside each output bin; `aligned=True` shifts by half a pixel."""
+    """Exact ROIAlign from the published definition (Mask R-CNN paper +
+    torchvision docs): average of bilinear samples on a regular grid inside
+    each output bin; `aligned=True` shifts by half a pixel. Vectorized in
+    numpy per roi (grid counts are per-roi when sampling_ratio <= 0)."""
+    import numpy as np
+
     if isinstance(boxes, torch.Tensor):
         rois = boxes
     else:
@@ -311,31 +314,48 @@ def _tv_roi_align(
         output_size = (output_size, output_size)
     ph_n, pw_n = output_size
     N, C, H, W = input.shape
-    out = input.new_zeros(len(rois), C, ph_n, pw_n)
+    feat = input.detach().cpu().numpy()
+    out = np.zeros((len(rois), C, ph_n, pw_n), np.float32)
     offset = 0.5 if aligned else 0.0
-    for r, roi in enumerate(rois):
-        b = int(roi[0].item())
-        x1 = roi[1].item() * spatial_scale - offset
-        y1 = roi[2].item() * spatial_scale - offset
-        x2 = roi[3].item() * spatial_scale - offset
-        y2 = roi[4].item() * spatial_scale - offset
+    rois_np = rois.detach().cpu().numpy()
+
+    def taps(coords, size):
+        """bilinear taps with RoIAlign semantics: zero weight outside
+        [-1, size]; coords clamped into [0, size-1]."""
+        inside = (coords >= -1.0) & (coords <= size)
+        c = np.clip(coords, 0.0, size - 1)
+        lo = np.floor(c).astype(np.int64)
+        hi = np.minimum(lo + 1, size - 1)
+        frac = c - lo
+        return lo, hi, frac, inside
+
+    for r, roi in enumerate(rois_np):
+        b = int(roi[0])
+        x1 = roi[1] * spatial_scale - offset
+        y1 = roi[2] * spatial_scale - offset
+        x2 = roi[3] * spatial_scale - offset
+        y2 = roi[4] * spatial_scale - offset
         roi_w, roi_h = x2 - x1, y2 - y1
         if not aligned:
             roi_w, roi_h = max(roi_w, 1.0), max(roi_h, 1.0)
         bin_h, bin_w = roi_h / ph_n, roi_w / pw_n
-        grid_h = sampling_ratio if sampling_ratio > 0 else int(math.ceil(roi_h / ph_n))
-        grid_w = sampling_ratio if sampling_ratio > 0 else int(math.ceil(roi_w / pw_n))
-        grid_h, grid_w = max(grid_h, 1), max(grid_w, 1)
-        for ph in range(ph_n):
-            for pw in range(pw_n):
-                acc = input.new_zeros(C)
-                for iy in range(grid_h):
-                    yy = y1 + ph * bin_h + (iy + 0.5) * bin_h / grid_h
-                    for ix in range(grid_w):
-                        xx = x1 + pw * bin_w + (ix + 0.5) * bin_w / grid_w
-                        acc += _bilinear(input[b], yy, xx)
-                out[r, :, ph, pw] = acc / (grid_h * grid_w)
-    return out
+        gh = sampling_ratio if sampling_ratio > 0 else max(int(math.ceil(roi_h / ph_n)), 1)
+        gw = sampling_ratio if sampling_ratio > 0 else max(int(math.ceil(roi_w / pw_n)), 1)
+        ys = y1 + (np.arange(ph_n)[:, None] + (np.arange(gh)[None, :] + 0.5) / gh).reshape(-1) * bin_h
+        xs = x1 + (np.arange(pw_n)[:, None] + (np.arange(gw)[None, :] + 0.5) / gw).reshape(-1) * bin_w
+        ylo, yhi, fy, yin = taps(ys, H)
+        xlo, xhi, fx, xin = taps(xs, W)
+        plane = feat[b]  # [C, H, W]
+        v = (
+            plane[:, ylo[:, None], xlo[None, :]] * ((1 - fy)[:, None] * (1 - fx)[None, :])
+            + plane[:, ylo[:, None], xhi[None, :]] * ((1 - fy)[:, None] * fx[None, :])
+            + plane[:, yhi[:, None], xlo[None, :]] * (fy[:, None] * (1 - fx)[None, :])
+            + plane[:, yhi[:, None], xhi[None, :]] * (fy[:, None] * fx[None, :])
+        )  # [C, ph*gh, pw*gw]
+        v = v * (yin[:, None] & xin[None, :])
+        v = v.reshape(C, ph_n, gh, pw_n, gw).mean(axis=(2, 4))
+        out[r] = v
+    return torch.from_numpy(out).to(input.dtype)
 
 
 # ---------------------------------------------------------------- install
@@ -427,6 +447,7 @@ def install():
     fv_ckpt._IncompatibleKeys = type("_IncompatibleKeys", (), {})
 
     tv = mod("torchvision")
+    tv.__version__ = "0.15.2"
     tv_ops = mod("torchvision.ops")
     tv_boxes = mod("torchvision.ops.boxes")
     tv.ops = tv_ops

@@ -144,3 +144,34 @@ def test_model_catalog_urls():
     assert resolve_catalog_url("/local/path.pkl") == "/local/path.pkl"
     with pytest.raises(RuntimeError):
         ModelCatalog.get("nonexistent/name")
+
+
+def test_convtranspose_layout():
+    """torch ConvTranspose2d kernels must be converted IOHW->HWIO PLUS a
+    spatial flip: flax's ConvTranspose applies the kernel unflipped relative
+    to torch (bit-exact check backing d2_converter._to_flax_layout)."""
+    import numpy as np
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from detectron2_tpu.layers.wrappers import ConvTranspose2d
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 4, 5, 3).astype(np.float32)
+    W = rng.randn(3, 2, 2, 2).astype(np.float32)  # torch IOHW
+    b = rng.randn(2).astype(np.float32)
+
+    tt = torch.nn.ConvTranspose2d(3, 2, 2, stride=2)
+    tt.weight.data = torch.from_numpy(W)
+    tt.bias.data = torch.from_numpy(b)
+    ref = tt(torch.from_numpy(x.transpose(0, 3, 1, 2))).detach().numpy().transpose(0, 2, 3, 1)
+
+    from detectron2_tpu.checkpoint.d2_converter import _to_flax_layout
+
+    mod = ConvTranspose2d(features=2, kernel_size=2, strides=2)
+    k = _to_flax_layout(W, (2, 2, 3, 2), conv_transpose=True)
+    v = {"params": {"ConvTranspose_0": {"kernel": jnp.asarray(k), "bias": jnp.asarray(b)}}}
+    out = np.asarray(mod.apply(v, jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
