@@ -29,9 +29,7 @@ _LEAF_RENAMES = {
     "scale": "weight",  # flax GroupNorm/LayerNorm scale
 }
 
-_SEGMENT_RENAMES = {
-    "head": "rpn_head",  # our RPN field name vs d2's
-}
+_SEGMENT_RENAMES = {}
 
 
 def _path_entry_str(p) -> str:
@@ -48,22 +46,43 @@ def _path_entry_str(p) -> str:
 
 def flax_path_to_d2_name(path: Tuple[str, ...]) -> str:
     """Map a flax param path (tuple of scope names + leaf) to a d2 dotted name."""
+    import re
+
     segs: List[str] = []
+    prev = None
     for seg in path[:-1]:
-        if any(seg.startswith(m) for m in _MERGE_SEGMENTS):
+        if any(seg.startswith(mm) for mm in _MERGE_SEGMENTS):
+            prev = seg
             continue  # merged into parent
-        if any(seg.startswith(m) for m in _NORM_SEGMENTS):
+        if any(seg.startswith(mm) for mm in _NORM_SEGMENTS):
             segs.append("norm")
+            prev = seg
             continue
         if seg == "conv2_norm":  # DeformBottleneckBlock's deform-conv norm
             segs.extend(["conv2", "norm"])
+            prev = seg
+            continue
+        if seg == "head" and prev == "proposal_generator":
+            # our RPN field is "head"; d2 names it "rpn_head" (RetinaNet's
+            # dense head, by contrast, IS "head" in d2)
+            segs.append("rpn_head")
+            prev = seg
+            continue
+        m = re.fullmatch(r"(cls_subnet|bbox_subnet)(\d+)", seg)
+        if m:
+            # d2 builds the subnets as Sequential(conv, relu, conv, relu, ...):
+            # our conv i sits at Sequential index 2*i
+            segs.extend([m.group(1), str(2 * int(m.group(2)))])
+            prev = seg
             continue
         # res2_0 -> res2.0 style stage blocks
         parts = seg.rsplit("_", 1)
         if len(parts) == 2 and parts[1].isdigit() and parts[0].startswith("res"):
             segs.extend([parts[0], parts[1]])
+            prev = seg
             continue
         segs.append(_SEGMENT_RENAMES.get(seg, seg))
+        prev = seg
     leaf = _LEAF_RENAMES.get(path[-1], path[-1])
     # DeformBottleneckBlock custom param
     if leaf == "conv2_kernel":

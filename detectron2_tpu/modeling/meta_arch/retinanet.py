@@ -155,7 +155,7 @@ class RetinaNet(DenseDetector):
         )
 
     @nn.compact
-    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False):
+    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False, raw: bool = False):
         images = self.preprocess_image(batch["image"])
         features_dict = self.backbone(images, train=train)
         features = [features_dict[f] for f in self.head_in_features]
@@ -166,6 +166,10 @@ class RetinaNet(DenseDetector):
         logits_l = [permute_to_N_HWA_K(x, self.num_classes).astype(jnp.float32) for x in logits_l]
         deltas_l = [permute_to_N_HWA_K(x, 4).astype(jnp.float32) for x in deltas_l]
 
+        if raw:
+            # pre-decode head outputs ([B, HWA, K] per level) for parity
+            # testing / export debugging
+            return {"logits": logits_l, "deltas": deltas_l}
         if train:
             return self.losses(
                 anchors, logits_l, deltas_l, batch["gt_boxes"], batch["gt_classes"], batch["gt_valid"]

@@ -462,6 +462,11 @@ def synth_weight_value(name: str, shape) -> np.ndarray:
         return (np.abs(rng.standard_normal(shape)) * 0.5 + 0.5).astype(np.float32)
     if name.endswith("running_mean"):
         return (rng.standard_normal(shape) * 0.1).astype(np.float32)
+    if "cls_score" in name and name.endswith("weight"):
+        # spread classification scores: with uniformly tiny weights every
+        # detection scores ~sigmoid(0) and near-tie NMS ordering becomes
+        # implementation-noise sensitive (a degenerate parity fixture)
+        return (rng.standard_normal(shape) * 0.3).astype(np.float32)
     return (rng.standard_normal(shape) * 0.05).astype(np.float32)
 
 
@@ -576,5 +581,91 @@ def golden_e2e_maskrcnn():
         box_pooled=t2n(box_feats),
         box_fc=t2n(fc_out),
         mask_probs10=t2n(mask_probs10),
+        **inter,
+    )
+
+
+def _structured_image(rng, h, w):
+    """Blobs on a gradient + noise: a uniform-noise image gives stationary conv
+    features, so every anchor of a dense detector scores within ~1e-2 of every
+    other and the top-k cut becomes pure tie-breaking noise (a degenerate
+    parity fixture). Spatial structure spreads the scores."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.stack([xx / w, yy / h, (xx + yy) / (h + w)], -1) * 80.0
+    for _ in range(12):
+        cy, cx = rng.uniform(0, h), rng.uniform(0, w)
+        sy, sx = rng.uniform(8, 60), rng.uniform(8, 60)
+        amp = rng.uniform(40, 170) * rng.choice([-1.0, 1.0], 3)
+        blob = np.exp(-(((yy - cy) / sy) ** 2 + ((xx - cx) / sx) ** 2))
+        img += blob[..., None] * amp
+    img += rng.standard_normal((h, w, 3)).astype(np.float32) * 8.0
+    return np.clip(img + 60.0, 0, 255).astype(np.uint8)
+
+
+def golden_e2e_retinanet():
+    """RetinaNet R18-FPN inference golden — the one-stage counterpart of
+    golden_e2e_maskrcnn (same synthetic-weight scheme)."""
+    from detectron2.config import get_cfg
+    from detectron2.modeling import build_model
+
+    cfg = get_cfg()
+    cfg.MODEL.DEVICE = "cpu"
+    cfg.MODEL.META_ARCHITECTURE = "RetinaNet"
+    cfg.MODEL.BACKBONE.NAME = "build_retinanet_resnet_fpn_backbone"
+    cfg.MODEL.RESNETS.DEPTH = 18
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 64
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res3", "res4", "res5"]
+    cfg.MODEL.FPN.IN_FEATURES = ["res3", "res4", "res5"]
+    cfg.MODEL.FPN.OUT_CHANNELS = 64
+    cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[32, 40], [64, 81], [128, 161], [256, 323], [512, 645]]
+    cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS = [[0.5, 1.0, 2.0]]
+    cfg.MODEL.RETINANET.IN_FEATURES = ["p3", "p4", "p5", "p6", "p7"]
+    cfg.MODEL.RETINANET.NUM_CLASSES = 7
+    cfg.MODEL.RETINANET.NUM_CONVS = 2
+    cfg.MODEL.RETINANET.SCORE_THRESH_TEST = 0.01
+    cfg.MODEL.RETINANET.TOPK_CANDIDATES_TEST = 200
+    cfg.TEST.DETECTIONS_PER_IMAGE = 50
+    model = build_model(cfg)
+    model.eval()
+
+    sd = model.state_dict()
+    names, shapes = [], []
+    new_sd = {}
+    for k, v in sd.items():
+        if k.endswith("num_batches_tracked") or "cell_anchors" in k or "pixel_" in k:
+            new_sd[k] = v
+            continue
+        arr = synth_weight_value(k, tuple(v.shape))
+        new_sd[k] = torch.from_numpy(arr)
+        names.append(k)
+        shapes.append(",".join(map(str, v.shape)))
+    model.load_state_dict(new_sd)
+
+    rng = np.random.RandomState(321)
+    img = _structured_image(rng, 320, 320)
+    inp = {"image": torch.from_numpy(img.transpose(2, 0, 1)).float(), "height": 320, "width": 320}
+
+    # deterministic pin: raw head outputs per level (no top-k/NMS selection —
+    # random deep weights leave large spatial tie clusters, so NMS-survivor
+    # identity is fp-ordering noise; the logit maps are what actually catch
+    # converter/wiring bugs)
+    inter = {}
+    with torch.no_grad():
+        images = model.preprocess_image([inp])
+        feats = model.backbone(images.tensor)
+        feats_l = [feats[f] for f in model.head_in_features]
+        logits, deltas = model.head(feats_l)
+        for i, f in enumerate(model.head_in_features):
+            inter[f"logits_{f}"] = t2n(logits[i])
+            inter[f"deltas_{f}"] = t2n(deltas[i])
+        out = model([inp])[0]["instances"]
+    save(
+        "e2e_retinanet_r18",
+        image=img,
+        weight_names=np.array(names),
+        weight_shapes=np.array(shapes),
+        out_boxes=t2n(out.pred_boxes.tensor),
+        out_scores=t2n(out.scores),
+        out_classes=t2n(out.pred_classes),
         **inter,
     )

@@ -35,6 +35,11 @@ def synth_weight_value(name: str, shape) -> np.ndarray:
         return (np.abs(rng.standard_normal(shape)) * 0.5 + 0.5).astype(np.float32)
     if name.endswith("running_mean"):
         return (rng.standard_normal(shape) * 0.1).astype(np.float32)
+    if "cls_score" in name and name.endswith("weight"):
+        # spread classification scores: with uniformly tiny weights every
+        # detection scores ~sigmoid(0) and near-tie NMS ordering becomes
+        # implementation-noise sensitive (a degenerate parity fixture)
+        return (rng.standard_normal(shape) * 0.3).astype(np.float32)
     return (rng.standard_normal(shape) * 0.05).astype(np.float32)
 
 
