@@ -75,9 +75,13 @@ def flax_path_to_d2_name(path: Tuple[str, ...]) -> str:
             segs.extend([m.group(1), str(2 * int(m.group(2)))])
             prev = seg
             continue
-        # res2_0 -> res2.0 style stage blocks
+        # res2_0 -> res2.0 style stage blocks; box_head_0 -> box_head.0
+        # (cascade per-stage tuple fields flax-name with an _i suffix where
+        # d2 uses a ModuleList index)
         parts = seg.rsplit("_", 1)
-        if len(parts) == 2 and parts[1].isdigit() and parts[0].startswith("res"):
+        if len(parts) == 2 and parts[1].isdigit() and (
+            parts[0].startswith("res") or parts[0] in ("box_head", "box_predictor")
+        ):
             segs.extend([parts[0], parts[1]])
             prev = seg
             continue

@@ -91,6 +91,7 @@ class Checkpointer:
             else:
                 self.params, report = convert_d2_state_dict(state_dict, holder)
             logger.info(report)
+            self.last_report = report
             if report.startswith("Loaded 0/"):
                 raise RuntimeError(
                     f"d2 checkpoint {path} matched 0 parameter tensors — the "

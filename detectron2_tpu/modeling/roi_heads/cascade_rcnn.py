@@ -79,10 +79,13 @@ class CascadeROIHeads(StandardROIHeads):
         box_heads = tuple(build_box_head(cfg) for _ in range(num_stages))
         predictors = []
         for k in range(num_stages):
-            p = FastRCNNOutputLayers.from_config(cfg)
-            # cascade predictors are class-agnostic with per-stage weights
-            p = p.replace(cls_agnostic_bbox_reg=True, box2box_weights=cascade_weights[k]) if hasattr(p, "replace") else p
-            predictors.append(p)
+            # cascade predictors are forced class-agnostic with per-stage
+            # decode weights (reference cascade_rcnn.py:120-139)
+            predictors.append(
+                FastRCNNOutputLayers.from_config(cfg).clone(
+                    cls_agnostic_bbox_reg=True, box2box_weights=cascade_weights[k]
+                )
+            )
 
         mask_head = build_mask_head(cfg) if cfg.MODEL.MASK_ON else None
         keypoint_head = build_keypoint_head(cfg) if cfg.MODEL.KEYPOINT_ON else None

@@ -419,6 +419,13 @@ class StandardROIHeads(nn.Module):
         detections["pred_keypoints"] = kpts.reshape(B, D, *kpts.shape[1:])
         return detections
 
+    def keypoint_logits(self, features, boxes_flat, batch_idx):
+        """Raw keypoint-head heatmap logits [R, S', S', K] for the given boxes
+        — the pre-decode surface for parity testing / export debugging."""
+        feats = [features[f] for f in self.in_features]
+        pooled = self._pooler(self.keypoint_pooler_resolution)(feats, boxes_flat, batch_idx)
+        return self.keypoint_head(pooled, train=False)
+
 
 @ROI_HEADS_REGISTRY.register()
 class Res5ROIHeads(nn.Module):

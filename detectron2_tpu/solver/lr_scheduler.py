@@ -121,14 +121,15 @@ class WarmupParamScheduler(ParamScheduler):
             if self._rescale:
                 where = (where - self._warmup_length) / (1 - self._warmup_length)
             return self._scheduler(where)
-        # warmup ramps toward the scheduler's value at the end of warmup
+        # fvcore semantics: ramp from warmup_factor * scheduler(0) to the
+        # scheduler's value at the end of warmup (matters when the wrapped
+        # schedule is not flat at its start, e.g. cosine)
+        start_value = self._warmup_factor * self._scheduler(0.0)
+        if self._warmup_method == "constant":
+            return start_value
         end_value = self._scheduler(0.0 if self._rescale else self._warmup_length)
-        if self._warmup_method == "linear":
-            alpha = where / max(self._warmup_length, 1e-12)
-            factor = self._warmup_factor * (1 - alpha) + alpha
-        else:
-            factor = self._warmup_factor
-        return factor * end_value
+        alpha = where / max(self._warmup_length, 1e-12)
+        return start_value + (end_value - start_value) * alpha
 
 
 class LRMultiplier:

@@ -669,3 +669,106 @@ def golden_e2e_retinanet():
         out_classes=t2n(out.pred_classes),
         **inter,
     )
+
+
+def golden_e2e_keypoint_rcnn():
+    """Keypoint R-CNN R18-FPN inference golden — extends the e2e evidence
+    chain to the keypoint head + heatmap decode. Pins the raw 56x56 keypoint
+    logits for the top detections (deterministic) plus the decoded keypoints
+    (bin-level tolerance: our decode upsamples by a static factor where the
+    reference interpolates to each roi's pixel size)."""
+    from detectron2.modeling import build_model
+
+    cfg = _e2e_cfg_ref()
+    cfg.MODEL.MASK_ON = False
+    cfg.MODEL.KEYPOINT_ON = True
+    cfg.MODEL.ROI_KEYPOINT_HEAD.CONV_DIMS = (64, 64)
+    cfg.MODEL.ROI_KEYPOINT_HEAD.POOLER_SAMPLING_RATIO = 2
+    cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_KEYPOINTS = 17
+    cfg.TEST.DETECTIONS_PER_IMAGE = 20
+    model = build_model(cfg)
+    model.eval()
+
+    sd = model.state_dict()
+    names, shapes = [], []
+    new_sd = {}
+    for k, v in sd.items():
+        if k.endswith("num_batches_tracked") or "cell_anchors" in k or "pixel_" in k:
+            new_sd[k] = v
+            continue
+        arr = synth_weight_value(k, tuple(v.shape))
+        new_sd[k] = torch.from_numpy(arr)
+        names.append(k)
+        shapes.append(",".join(map(str, v.shape)))
+    model.load_state_dict(new_sd)
+
+    rng = np.random.RandomState(77)
+    img = _structured_image(rng, 320, 320)
+    inp = {"image": torch.from_numpy(img.transpose(2, 0, 1)).float(), "height": 320, "width": 320}
+    with torch.no_grad():
+        out = model([inp])[0]["instances"]
+        images = model.preprocess_image([inp])
+        feats = model.backbone(images.tensor)
+        kpt_feats = model.roi_heads.keypoint_pooler(
+            [feats[f] for f in model.roi_heads.keypoint_in_features],
+            [out.pred_boxes[:10]],
+        )
+        kpt_logits = model.roi_heads.keypoint_head.layers(kpt_feats)  # [10,17,56,56]
+    save(
+        "e2e_keypointrcnn_r18",
+        image=img,
+        weight_names=np.array(names),
+        weight_shapes=np.array(shapes),
+        out_boxes=t2n(out.pred_boxes.tensor),
+        out_scores=t2n(out.scores),
+        out_classes=t2n(out.pred_classes),
+        out_keypoints=t2n(out.pred_keypoints),  # [D,17,3] x,y,score
+        kpt_logits10=t2n(kpt_logits),
+    )
+
+
+def golden_e2e_cascade_rcnn():
+    """Cascade R-CNN R18-FPN inference golden — pins the 3-stage cascade:
+    per-stage rematching-free inference refinement, cls-agnostic box
+    regression, and score averaging across stage heads."""
+    from detectron2.modeling import build_model
+
+    cfg = _e2e_cfg_ref()
+    cfg.MODEL.MASK_ON = False
+    cfg.MODEL.ROI_HEADS.NAME = "CascadeROIHeads"
+    cfg.MODEL.ROI_BOX_HEAD.CLS_AGNOSTIC_BBOX_REG = True
+    cfg.TEST.DETECTIONS_PER_IMAGE = 30
+    model = build_model(cfg)
+    model.eval()
+
+    sd = model.state_dict()
+    names, shapes = [], []
+    new_sd = {}
+    for k, v in sd.items():
+        if k.endswith("num_batches_tracked") or "cell_anchors" in k or "pixel_" in k:
+            new_sd[k] = v
+            continue
+        arr = synth_weight_value(k, tuple(v.shape))
+        new_sd[k] = torch.from_numpy(arr)
+        names.append(k)
+        shapes.append(",".join(map(str, v.shape)))
+    model.load_state_dict(new_sd)
+
+    rng = np.random.RandomState(55)
+    img = _structured_image(rng, 320, 320)
+    inp = {"image": torch.from_numpy(img.transpose(2, 0, 1)).float(), "height": 320, "width": 320}
+    with torch.no_grad():
+        out = model([inp])[0]["instances"]
+        images = model.preprocess_image([inp])
+        feats = model.backbone(images.tensor)
+        proposals, _ = model.proposal_generator(images, feats, None)
+    save(
+        "e2e_cascadercnn_r18",
+        image=img,
+        weight_names=np.array(names),
+        weight_shapes=np.array(shapes),
+        out_boxes=t2n(out.pred_boxes.tensor),
+        out_scores=t2n(out.scores),
+        out_classes=t2n(out.pred_classes),
+        prop_boxes=t2n(proposals[0].proposal_boxes.tensor),
+    )
