@@ -418,6 +418,14 @@ class ResNet(Backbone):
 def build_resnet_backbone(cfg, input_shape: ShapeSpec = None) -> ResNet:
     """Create a ResNet from config (reference resnet.py:614)."""
     specs = make_stage_specs(cfg)
+    # only build stages up to the deepest requested feature (reference
+    # resnet.py:632-640) — a C4 model with OUT_FEATURES=["res4"] must not
+    # instantiate res5 (its weights live in Res5ROIHeads instead)
+    out_features = tuple(cfg.MODEL.RESNETS.OUT_FEATURES)
+    max_stage = max(
+        {"stem": 1, "res2": 2, "res3": 3, "res4": 4, "res5": 5}[f] for f in out_features
+    )
+    specs = specs[: max(0, max_stage - 1)]
     # flax dataclass fields must be hashable-ish; store as tuple of tuples of dicts
     specs_t = tuple(tuple(dict(b) for b in blocks) for blocks in specs)
     return ResNet(

@@ -36,8 +36,13 @@ class MaskRCNNConvUpsampleHead(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        """x: [R, h, w, C] -> mask logits [R, 2h, 2w, num_classes(or 1)]."""
-        for i, dim in enumerate(self.conv_dims):
+        """x: [R, h, w, C] -> mask logits [R, 2h, 2w, num_classes(or 1)].
+
+        Reference convention (mask_head.py:226-250): conv_dims[:-1] are the
+        3x3 convs, conv_dims[-1] is the deconv's output dim — so a
+        NUM_CONV=0 C4 head still deconvs to CONV_DIM channels.
+        """
+        for i, dim in enumerate(self.conv_dims[:-1]):
             x = Conv2d(
                 features=dim,
                 kernel_size=3,
@@ -106,7 +111,8 @@ def build_mask_head(cfg, input_shape=None):
         num_conv = cfg.MODEL.ROI_MASK_HEAD.NUM_CONV
         return MaskRCNNConvUpsampleHead(
             num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
-            conv_dims=tuple([cfg.MODEL.ROI_MASK_HEAD.CONV_DIM] * num_conv),
+            # +1: the last entry is the deconv dim (reference mask_head.py:262)
+            conv_dims=tuple([cfg.MODEL.ROI_MASK_HEAD.CONV_DIM] * (num_conv + 1)),
             conv_norm=cfg.MODEL.ROI_MASK_HEAD.NORM,
             cls_agnostic=cfg.MODEL.ROI_MASK_HEAD.CLS_AGNOSTIC_MASK,
         )

@@ -449,17 +449,29 @@ class Res5ROIHeads(nn.Module):
 
     @classmethod
     def from_config(cls, cfg, input_shape: Dict[str, ShapeSpec]):
-        from detectron2_tpu.modeling.backbone.resnet import make_stage_specs
+        from detectron2_tpu.modeling.backbone.resnet import BottleneckBlock
 
         in_features = tuple(cfg.MODEL.ROI_HEADS.IN_FEATURES)
         scales = tuple(1.0 / input_shape[f].stride for f in in_features)
-        specs = make_stage_specs(cfg)[-1]  # res5 blocks
-        blocks = []
-        for b, kwargs in enumerate(specs):
-            kw = dict(kwargs)
-            block_class = kw.pop("block_class")
-            kw["stride"] = 2 if b == 0 else 1  # C4 heads use stride-2 res5
-            blocks.append(block_class(name=f"res5_{b}", **kw))
+        # the reference's C4 head ALWAYS builds 3 bottleneck blocks for its
+        # res5 stage, even for BasicBlock depths like R18
+        # (reference roi_heads.py:_build_res5_block: stage_channel_factor=8)
+        num_groups = cfg.MODEL.RESNETS.NUM_GROUPS
+        bottleneck_channels = num_groups * cfg.MODEL.RESNETS.WIDTH_PER_GROUP * 8
+        out_channels = cfg.MODEL.RESNETS.RES2_OUT_CHANNELS * 8
+        blocks = [
+            BottleneckBlock(
+                name=f"res5_{b}",
+                in_channels=out_channels // 2 if b == 0 else out_channels,
+                out_channels=out_channels,
+                bottleneck_channels=bottleneck_channels,
+                stride=2 if b == 0 else 1,
+                num_groups=num_groups,
+                stride_in_1x1=cfg.MODEL.RESNETS.STRIDE_IN_1X1,
+                norm=cfg.MODEL.RESNETS.NORM,
+            )
+            for b in range(3)
+        ]
         mask_head = build_mask_head(cfg) if cfg.MODEL.MASK_ON else None
         predictor = FastRCNNOutputLayers.from_config(cfg)
         return cls(

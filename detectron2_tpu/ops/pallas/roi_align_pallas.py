@@ -310,3 +310,205 @@ def roi_align_pallas_multilevel(
         )
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     return out[:R]
+
+
+# ---------------------------------------------------------------------------
+# Backward: gradient scatter as sequential read-modify-write window DMAs
+# ---------------------------------------------------------------------------
+
+
+def _make_bwd_kernel(ph, pw, s, XW, YH, C, num_levels, total_rois):
+    n_rows = ph * s
+
+    def kernel(ints_ref, yw_ref, xs_ref, xw_ref, grad_ref, *rest):
+        # rest: num_levels aliased input plane refs (ANY, unused — the same
+        # buffers arrive again as outputs), num_levels out plane refs (ANY),
+        # gx scratch, rw scratch, sems
+        out_planes = rest[num_levels : 2 * num_levels]
+        gx_ref = rest[2 * num_levels]
+        rw_ref = rest[2 * num_levels + 1]
+        sems = rest[2 * num_levels + 2]
+
+        block0 = pl.program_id(0) * ROI_BLOCK
+        col_ids = lax.broadcasted_iota(jnp.int32, (pw * s, XW), 1).astype(jnp.float32)
+
+        def rmw(a, mk):
+            lvl = ints_ref[a, 1]
+            row0 = ints_ref[a, 0]
+            xst = pl.multiple_of(xs_ref[a], 8)
+            for L in range(num_levels):
+                @pl.when(lvl == L)
+                def _():
+                    mk(out_planes[L].at[pl.ds(row0, YH), pl.ds(xst, XW), :])
+
+        for j in range(ROI_BLOCK):
+            a = block0 + j
+
+            # start the window read early; the gx matmuls overlap it
+            def rd(tgt):
+                cp = pltpu.make_async_copy(tgt, rw_ref, sems.at[0])
+                cp.start()
+            rmw(a, rd)
+
+            # x adjoint matrix: same wx as the forward ([pw, XW], bin-avg and
+            # validity folded in), contracted on its bin dim
+            x_off = xw_ref[j, 1 : 1 + pw * s][:, None]
+            x_frac = xw_ref[j, 1 + pw * s : 1 + 2 * pw * s][:, None]
+            x_val = xw_ref[j, 1 + 2 * pw * s : 1 + 3 * pw * s][:, None]
+            wx_samples = jnp.where(col_ids == x_off, (1.0 - x_frac) * x_val, 0.0) + jnp.where(
+                col_ids == x_off + 1.0, x_frac * x_val, 0.0
+            )
+            wx = wx_samples.reshape(pw, s, XW).sum(axis=1) * (1.0 / (s * s))  # [pw, XW]
+
+            for p in range(ph):
+                g_bin = grad_ref[j, p].astype(jnp.float32)  # [pw, C]
+                # gx_p[x, c] = sum_q wx[q, x] * g_bin[q, c]  (transposed-lhs MXU)
+                gx_ref[p] = lax.dot_general(
+                    wx, g_bin, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                )
+
+            def wait_rd(tgt):
+                pltpu.make_async_copy(tgt, rw_ref, sems.at[0]).wait()
+            rmw(a, wait_rd)
+
+            # y adjoint: per sample row, two window rows get w0/w1-weighted gx
+            for i in range(n_rows):
+                yo = ints_ref[a, 2 + i]
+                w0 = yw_ref[a, i]
+                w1 = yw_ref[a, n_rows + i]
+                gx = gx_ref[i // s]  # [XW, C]
+                pair = rw_ref[pl.ds(yo, 2)]  # [2, XW, C]
+                upd = jnp.stack([pair[0] + w0 * gx, pair[1] + w1 * gx])
+                rw_ref[pl.ds(yo, 2)] = upd
+
+            def wr(tgt):
+                cp = pltpu.make_async_copy(rw_ref, tgt, sems.at[0])
+                cp.start()
+            rmw(a, wr)
+
+            def wait_wr(tgt):
+                pltpu.make_async_copy(rw_ref, tgt, sems.at[0]).wait()
+            rmw(a, wait_wr)
+
+    return kernel
+
+
+def roi_align_pallas_backward(
+    g: jnp.ndarray,  # [R, ph, pw, C] cotangent
+    features: dict,  # level -> [B, H, W, C] (shape/dtype reference only)
+    boxes: jnp.ndarray,
+    batch_indices: jnp.ndarray,
+    level_assignments: jnp.ndarray,
+    level_order: Tuple[str, ...],
+    scales: Tuple[float, ...],
+    output_size,
+    sampling_ratio: int = 0,
+    x_window: int = 64,
+    y_window: int = 48,
+) -> dict:
+    """Feature gradients of the Pallas RoIAlign forward.
+
+    The XLA alternatives scatter per-element (~4.8M updates) or per-window
+    (via lax.scatter_add of [R, YH, XW, C] windows); both are scatter-bound on
+    TPU. Here each roi's gradient window is built in VMEM (one transposed MXU
+    matmul per output bin row + 2 weighted row adds per sample row) and
+    accumulated into the level plane with a sequential read-modify-write DMA
+    pair — the TPU-native form of atomics. Grid steps run sequentially on TPU,
+    so overlapping roi windows are race-free by construction.
+
+    With (y_window, x_window) equal to the forward's, this is the exact
+    adjoint of the forward, clamping included. Boxes/indices get no gradient
+    (proposals are stop_gradient'ed by all callers, matching the reference).
+    """
+    if isinstance(output_size, int):
+        output_size = (output_size, output_size)
+    ph, pw = output_size
+    s = int(sampling_ratio) if sampling_ratio > 0 else 2
+    XW, YH = x_window, y_window
+
+    feats = [features[n] for n in level_order]
+    B, _, _, C = feats[0].shape
+    R = boxes.shape[0]
+
+    hs, ws, ws_true, plane_shapes = [], [], [], []
+    for f in feats:
+        _, H, W, _ = f.shape
+        Wp = max(((W + 7) // 8) * 8, XW)
+        hs.append(H)
+        ws.append(Wp)
+        ws_true.append(W)
+        plane_shapes.append((B * H + max(0, YH - H), Wp, C))
+
+    pad = (-R) % ROI_BLOCK
+    if pad:
+        boxes = jnp.concatenate(
+            [boxes, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0, 1.0]], boxes.dtype), (pad, 1))], axis=0
+        )
+        batch_indices = jnp.concatenate([batch_indices, jnp.zeros((pad,), batch_indices.dtype)])
+        level_assignments = jnp.concatenate(
+            [level_assignments, jnp.zeros((pad,), level_assignments.dtype)]
+        )
+        g = jnp.concatenate([g, jnp.zeros((pad, ph, pw, C), g.dtype)], axis=0)
+    Rp = boxes.shape[0]
+
+    ints_i32, yw_f32, xw_f32, x_start = _precompute(
+        boxes,
+        batch_indices,
+        level_assignments,
+        jnp.asarray(hs, jnp.int32),
+        jnp.asarray(ws, jnp.int32),
+        jnp.asarray(ws_true, jnp.int32),
+        jnp.asarray(scales, jnp.float32),
+        ph,
+        pw,
+        s,
+        XW,
+        YH,
+    )
+
+    NX = 1 + 3 * pw * s
+    num_levels = len(feats)
+    planes = [jnp.zeros(ps, jnp.float32) for ps in plane_shapes]
+
+    CHUNK = 512
+    for c0 in range(0, Rp, CHUNK):
+        c1 = min(c0 + CHUNK, Rp)
+        n = c1 - c0
+        kernel = _make_bwd_kernel(ph, pw, s, XW, YH, C, num_levels, n)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,  # ints, yw, x_start
+            grid=(n // ROI_BLOCK,),
+            in_specs=[
+                pl.BlockSpec((ROI_BLOCK, NX), lambda r, *_: (r, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (ROI_BLOCK, ph, pw, C), lambda r, *_: (r, 0, 0, 0), memory_space=pltpu.VMEM
+                ),
+            ]
+            + [pl.BlockSpec(memory_space=pl.ANY)] * num_levels,
+            out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * num_levels,
+            scratch_shapes=[
+                pltpu.VMEM((ph, XW, C), jnp.float32),
+                pltpu.VMEM((YH, XW, C), jnp.float32),
+                pltpu.SemaphoreType.DMA((1,)),
+            ],
+        )
+        planes = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct(ps, jnp.float32) for ps in plane_shapes],
+            input_output_aliases={5 + l: l for l in range(num_levels)},
+        )(
+            ints_i32[c0:c1],
+            yw_f32[c0:c1],
+            x_start[c0:c1],
+            xw_f32[c0:c1],
+            g[c0:c1].astype(jnp.float32),
+            *planes,
+        )
+        if not isinstance(planes, (list, tuple)):
+            planes = [planes]
+
+    out = {}
+    for name, f, H, Wp, W, plane in zip(level_order, feats, hs, ws, ws_true, planes):
+        out[name] = plane[: B * H, :W].reshape(B, H, W, C).astype(f.dtype)
+    return out

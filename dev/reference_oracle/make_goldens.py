@@ -772,3 +772,80 @@ def golden_e2e_cascade_rcnn():
         out_classes=t2n(out.pred_classes),
         prop_boxes=t2n(proposals[0].proposal_boxes.tensor),
     )
+
+
+def golden_e2e_maskrcnn_c4():
+    """Mask R-CNN R18-C4 inference golden — pins the C4 path: bare ResNet
+    backbone (res4 out), single-level pooler, shared res5 box/mask feature
+    extractor (Res5ROIHeads), and the C4 deconv mask head."""
+    from detectron2.config import get_cfg
+    from detectron2.modeling import build_model
+
+    cfg = get_cfg()
+    cfg.MODEL.DEVICE = "cpu"
+    cfg.MODEL.META_ARCHITECTURE = "GeneralizedRCNN"
+    cfg.MODEL.BACKBONE.NAME = "build_resnet_backbone"
+    cfg.MODEL.RESNETS.DEPTH = 18
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 64
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res4"]
+    cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[32, 64, 128, 256, 512]]
+    cfg.MODEL.RPN.IN_FEATURES = ["res4"]
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 300
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 100
+    cfg.MODEL.ROI_HEADS.NAME = "Res5ROIHeads"
+    cfg.MODEL.ROI_HEADS.IN_FEATURES = ["res4"]
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 7
+    cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST = 0.0
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 14
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO = 2
+    cfg.MODEL.ROI_MASK_HEAD.NAME = "MaskRCNNConvUpsampleHead"
+    cfg.MODEL.ROI_MASK_HEAD.NUM_CONV = 0
+    cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION = 14
+    cfg.MODEL.ROI_MASK_HEAD.POOLER_SAMPLING_RATIO = 2
+    cfg.MODEL.MASK_ON = True
+    cfg.TEST.DETECTIONS_PER_IMAGE = 30
+    model = build_model(cfg)
+    model.eval()
+
+    sd = model.state_dict()
+    names, shapes = [], []
+    new_sd = {}
+    for k, v in sd.items():
+        if k.endswith("num_batches_tracked") or "cell_anchors" in k or "pixel_" in k:
+            new_sd[k] = v
+            continue
+        arr = synth_weight_value(k, tuple(v.shape))
+        new_sd[k] = torch.from_numpy(arr)
+        names.append(k)
+        shapes.append(",".join(map(str, v.shape)))
+    model.load_state_dict(new_sd)
+
+    rng = np.random.RandomState(99)
+    img = _structured_image(rng, 320, 320)
+    inp = {"image": torch.from_numpy(img.transpose(2, 0, 1)).float(), "height": 320, "width": 320}
+    with torch.no_grad():
+        out = model([inp])[0]["instances"]
+        images = model.preprocess_image([inp])
+        feats = model.backbone(images.tensor)
+        proposals, _ = model.proposal_generator(images, feats, None)
+        # raw 28x28 mask probs for the top-10 detections through the shared res5
+        mask_feats = model.roi_heads.pooler(
+            [feats[f] for f in model.roi_heads.in_features], [out.pred_boxes[:10]]
+        )
+        res5_out = model.roi_heads.res5(mask_feats)
+        mask_logits = model.roi_heads.mask_head.layers(res5_out)
+        cls10 = out.pred_classes[:10]
+        mask_probs10 = torch.sigmoid(mask_logits[torch.arange(len(cls10)), cls10])
+    save(
+        "e2e_maskrcnn_c4_r18",
+        image=img,
+        weight_names=np.array(names),
+        weight_shapes=np.array(shapes),
+        out_boxes=t2n(out.pred_boxes.tensor),
+        out_scores=t2n(out.scores),
+        out_classes=t2n(out.pred_classes),
+        prop_boxes=t2n(proposals[0].proposal_boxes.tensor),
+        prop_logits=t2n(proposals[0].objectness_logits),
+        feat_res4=t2n(feats["res4"]),
+        mask_probs10=t2n(mask_probs10),
+    )
