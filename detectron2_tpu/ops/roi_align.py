@@ -535,23 +535,53 @@ def _roi_align_ml_transpose_window(
 
 
 def _roi_align_ml_hybrid_bwd(level_order, scales, output_size, sampling_ratio, res, g):
-    """Backward via jax.vjp of the XLA formulation.
+    """Backward: Pallas read-modify-write window kernel on TPU, XLA vjp
+    otherwise.
 
-    Three backward formulations were implemented and measured on v5e
-    (Mask R-CNN FPN train step, batch 8, production config):
-      - this vjp of the chunked-gather XLA forward:        424.6 ms/step
+    Four backward formulations, measured on v5e (Mask R-CNN FPN train step
+    batch 8 production config for the step numbers; standalone microbench
+    tools/_bench_roi_bwd.py for the op numbers):
+      - vjp of the chunked-gather XLA forward:             424.6 ms/step
       - explicit per-element transpose scatter
         (``_roi_align_ml_transpose``, tested above):       775 ms/step (C4 cfg)
       - windowed dense transpose mirroring the Pallas fwd
-        (``_roi_align_ml_transpose_window``: 2 MXU einsums
-        + ONE [48,64,C] window scatter-add per roi):       491.2 ms/step
-    XLA CSEs the vjp's nominally redundant forward and lowers the take-VJP
-    scatter better than either hand-written alternative, so the vjp stays.
-    Both alternatives are kept with parity/adjoint tests as the starting
-    point for a future Pallas backward kernel. Box gradients flow through
-    the vjp but are discarded by the callers (proposals are
-    stop_gradient'ed), matching reference semantics."""
+        (``_roi_align_ml_transpose_window``):              491.2 ms/step
+          op-level: 185.6 ms (4096 rois 7x7) + 53.5 ms (1024 rois 14x14)
+      - Pallas sequential RMW window kernel (production):
+          op-level:  34.7 ms (4096 rois 7x7) + 17.6 ms (1024 rois 14x14)
+    The Pallas kernel is the exact adjoint of the Pallas forward (same
+    window geometry + clamping; tests/ops/test_roi_align_pallas_bwd.py).
+    Box gradients are zero — every caller stop_gradients proposal boxes,
+    matching reference semantics (proposals detach before pooling)."""
+    import os
+
     features, boxes, batch_indices, level_assignments = res
+
+    def _float0(x):
+        import numpy as np
+
+        return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+    if (
+        jax.default_backend() not in ("cpu",)
+        and os.environ.get("D2T_PALLAS_BWD", "1") != "0"
+    ):
+        from detectron2_tpu.ops.pallas.roi_align_pallas import roi_align_pallas_backward
+
+        d_features = roi_align_pallas_backward(
+            g,
+            features,
+            boxes,
+            batch_indices,
+            level_assignments,
+            level_order,
+            scales,
+            output_size,
+            sampling_ratio,
+        )
+        d_boxes = jnp.zeros_like(boxes)
+        return d_features, d_boxes, _float0(batch_indices), _float0(level_assignments)
+
     _, vjp = jax.vjp(
         lambda f, b: _roi_align_multilevel_xla(
             f, b, batch_indices, level_assignments, level_order, scales, output_size, sampling_ratio, True
@@ -560,12 +590,6 @@ def _roi_align_ml_hybrid_bwd(level_order, scales, output_size, sampling_ratio, r
         boxes,
     )
     d_features, d_boxes = vjp(g)
-
-    def _float0(x):
-        import numpy as np
-
-        return np.zeros(x.shape, dtype=jax.dtypes.float0)
-
     return d_features, d_boxes, _float0(batch_indices), _float0(level_assignments)
 
 

@@ -849,3 +849,137 @@ def golden_e2e_maskrcnn_c4():
         feat_res4=t2n(feats["res4"]),
         mask_probs10=t2n(mask_probs10),
     )
+
+
+def golden_e2e_semseg():
+    """SemanticSegmentor R18-FPN inference golden — the fully deterministic
+    per-pixel path (no NMS/topk): pins SemSegFPNHead's scale-head sums,
+    GN conv stacks, and the 4x final upsample."""
+    from detectron2.config import get_cfg
+    from detectron2.modeling import build_model
+
+    cfg = get_cfg()
+    cfg.MODEL.DEVICE = "cpu"
+    cfg.MODEL.META_ARCHITECTURE = "SemanticSegmentor"
+    cfg.MODEL.BACKBONE.NAME = "build_resnet_fpn_backbone"
+    cfg.MODEL.RESNETS.DEPTH = 18
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 64
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.FPN.IN_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.FPN.OUT_CHANNELS = 64
+    cfg.MODEL.SEM_SEG_HEAD.IN_FEATURES = ["p2", "p3", "p4", "p5"]
+    cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES = 9
+    cfg.MODEL.SEM_SEG_HEAD.CONVS_DIM = 32
+    model = build_model(cfg)
+    model.eval()
+
+    sd = model.state_dict()
+    names, shapes = [], []
+    new_sd = {}
+    for k, v in sd.items():
+        if k.endswith("num_batches_tracked") or "pixel_" in k:
+            new_sd[k] = v
+            continue
+        arr = synth_weight_value(k, tuple(v.shape))
+        new_sd[k] = torch.from_numpy(arr)
+        names.append(k)
+        shapes.append(",".join(map(str, v.shape)))
+    model.load_state_dict(new_sd)
+
+    rng = np.random.RandomState(31)
+    img = _structured_image(rng, 320, 320)
+    inp = {"image": torch.from_numpy(img.transpose(2, 0, 1)).float(), "height": 320, "width": 320}
+    with torch.no_grad():
+        out = model([inp])[0]["sem_seg"]  # [C, 320, 320] logits
+    save(
+        "e2e_semseg_r18",
+        image=img,
+        weight_names=np.array(names),
+        weight_shapes=np.array(shapes),
+        sem_seg=t2n(out),
+    )
+
+
+def golden_e2e_panoptic_fpn():
+    """PanopticFPN R18 inference golden — pins the joint model plus the
+    greedy panoptic fusion (combine_semantic_and_instance_outputs:
+    score-sorted instance paste, overlap threshold, stuff area limit)."""
+    from detectron2.config import get_cfg
+    from detectron2.modeling import build_model
+
+    cfg = get_cfg()
+    cfg.MODEL.DEVICE = "cpu"
+    cfg.MODEL.META_ARCHITECTURE = "PanopticFPN"
+    cfg.MODEL.BACKBONE.NAME = "build_resnet_fpn_backbone"
+    cfg.MODEL.RESNETS.DEPTH = 18
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 64
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.FPN.IN_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.FPN.OUT_CHANNELS = 64
+    cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[32], [64], [128], [256], [512]]
+    cfg.MODEL.RPN.IN_FEATURES = ["p2", "p3", "p4", "p5", "p6"]
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 200
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 100
+    cfg.MODEL.ROI_HEADS.NAME = "StandardROIHeads"
+    cfg.MODEL.ROI_HEADS.IN_FEATURES = ["p2", "p3", "p4", "p5"]
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 7
+    cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST = 0.3
+    cfg.MODEL.ROI_BOX_HEAD.NAME = "FastRCNNConvFCHead"
+    cfg.MODEL.ROI_BOX_HEAD.NUM_FC = 2
+    cfg.MODEL.ROI_BOX_HEAD.FC_DIM = 128
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO = 2
+    cfg.MODEL.ROI_MASK_HEAD.NUM_CONV = 2
+    cfg.MODEL.ROI_MASK_HEAD.CONV_DIM = 64
+    cfg.MODEL.ROI_MASK_HEAD.POOLER_SAMPLING_RATIO = 2
+    cfg.MODEL.MASK_ON = True
+    cfg.MODEL.SEM_SEG_HEAD.IN_FEATURES = ["p2", "p3", "p4", "p5"]
+    cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES = 9
+    cfg.MODEL.SEM_SEG_HEAD.CONVS_DIM = 32
+    cfg.TEST.DETECTIONS_PER_IMAGE = 20
+    model = build_model(cfg)
+    model.eval()
+
+    sd = model.state_dict()
+    names, shapes = [], []
+    new_sd = {}
+    for k, v in sd.items():
+        if k.endswith("num_batches_tracked") or "cell_anchors" in k or "pixel_" in k:
+            new_sd[k] = v
+            continue
+        arr = synth_weight_value(k, tuple(v.shape))
+        new_sd[k] = torch.from_numpy(arr)
+        names.append(k)
+        shapes.append(",".join(map(str, v.shape)))
+    model.load_state_dict(new_sd)
+
+    rng = np.random.RandomState(41)
+    img = _structured_image(rng, 320, 320)
+    inp = {"image": torch.from_numpy(img.transpose(2, 0, 1)).float(), "height": 320, "width": 320}
+    with torch.no_grad():
+        out = model([inp])[0]
+    pan_seg, segments_info = out["panoptic_seg"]
+    inst = out["instances"]
+    seg_rows = np.array(
+        [
+            [
+                s["id"],
+                int(s["isthing"]),
+                s["category_id"],
+                int(s.get("instance_id", -1)) if s["isthing"] else int(s.get("area", -1)),
+            ]
+            for s in segments_info
+        ],
+        np.int64,
+    ).reshape(-1, 4)
+    save(
+        "e2e_panoptic_r18",
+        image=img,
+        weight_names=np.array(names),
+        weight_shapes=np.array(shapes),
+        pan_seg=t2n(pan_seg),
+        seg_rows=seg_rows,
+        out_boxes=t2n(inst.pred_boxes.tensor),
+        out_scores=t2n(inst.scores),
+        out_classes=t2n(inst.pred_classes),
+        sem_seg=t2n(out["sem_seg"]),
+    )

@@ -5,17 +5,10 @@ from detectron2_tpu.modeling import build_model
 from detectron2_tpu.parallel import TrainState, make_train_step
 from detectron2_tpu.solver import build_optimizer
 
-cfg = get_cfg()
-cfg.MODEL.BACKBONE.NAME = "build_resnet_fpn_backbone"
-cfg.MODEL.RESNETS.OUT_FEATURES = ["res2","res3","res4","res5"]
-cfg.MODEL.FPN.IN_FEATURES = ["res2","res3","res4","res5"]
-cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[32],[64],[128],[256],[512]]
-cfg.MODEL.RPN.IN_FEATURES = ["p2","p3","p4","p5","p6"]
-cfg.MODEL.ROI_HEADS.NAME = "StandardROIHeads"
-cfg.MODEL.ROI_HEADS.IN_FEATURES = ["p2","p3","p4","p5"]
-cfg.MODEL.ROI_BOX_HEAD.NUM_FC = 2
-cfg.MODEL.ROI_MASK_HEAD.NUM_CONV = 4
-cfg.MODEL.MASK_ON = True
+# production zoo config: the raw get_cfg() defaults are the C4 conventions
+# (14x14 box pooler, 12000 pre-NMS/level) and overstate pooler/NMS cost ~4x
+from detectron2_tpu import model_zoo
+cfg = model_zoo.get_config("COCO-InstanceSegmentation/mask_rcnn_R_50_FPN_1x.yaml")
 cfg.SOLVER.MAX_ITER = 1000
 model = build_model(cfg)
 
