@@ -55,7 +55,11 @@ def flax_path_to_d2_name(path: Tuple[str, ...]) -> str:
             prev = seg
             continue  # merged into parent
         if any(seg.startswith(mm) for mm in _NORM_SEGMENTS):
-            segs.append("norm")
+            # an auto-named norm module nested inside an explicit "norm"
+            # scope (a get_norm factory bound by Conv2d) collapses to ONE
+            # d2 "norm" attribute, not "norm.norm"
+            if not segs or segs[-1] != "norm":
+                segs.append("norm")
             prev = seg
             continue
         if seg == "conv2_norm":  # DeformBottleneckBlock's deform-conv norm
@@ -72,6 +76,13 @@ def flax_path_to_d2_name(path: Tuple[str, ...]) -> str:
         if m:
             # d2 builds the subnets as Sequential(conv, relu, conv, relu, ...):
             # our conv i sits at Sequential index 2*i
+            segs.extend([m.group(1), str(2 * int(m.group(2)))])
+            prev = seg
+            continue
+        m = re.fullmatch(r"(p\d+)_conv(\d+)", seg)
+        if m and prev == "sem_seg_head":
+            # SemSegFPNHead scale heads: d2 builds Sequential(conv, up, conv,
+            # up, ...) per feature — conv k sits at index 2*k
             segs.extend([m.group(1), str(2 * int(m.group(2)))])
             prev = seg
             continue
