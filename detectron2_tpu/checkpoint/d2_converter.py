@@ -79,6 +79,35 @@ def flax_path_to_d2_name(path: Tuple[str, ...]) -> str:
             segs.extend([m.group(1), str(2 * int(m.group(2)))])
             prev = seg
             continue
+        m = re.fullmatch(r"blocks_(\d+)", seg)
+        if m:
+            # ViT transformer blocks: d2 uses a ModuleList index
+            segs.extend(["blocks", m.group(1)])
+            prev = seg
+            continue
+        if seg == "patch_embed":
+            # our patch embed IS the conv; d2 wraps it (PatchEmbed.proj)
+            segs.extend(["patch_embed", "proj"])
+            prev = seg
+            continue
+        m = re.fullmatch(r"(up4_deconv1|up4_norm|up4_deconv2|up2_deconv|lateral|output)_(\d+)", seg)
+        if m:
+            # SimpleFeaturePyramid: d2 names each scale stage simfp_{stage}
+            # with a Sequential index (vit.py:410-455). Index mapping assumes
+            # the canonical ViTDet scale set (4, 2, 1, 0.5) on a stride-16
+            # backbone -> stages 2..5.
+            idx = int(m.group(2))
+            stage = idx + 2
+            kind = m.group(1)
+            seq = {
+                0: {"up4_deconv1": 0, "up4_norm": 1, "up4_deconv2": 3, "lateral": 4, "output": 5},
+                1: {"up2_deconv": 0, "lateral": 1, "output": 2},
+                2: {"lateral": 0, "output": 1},
+                3: {"lateral": 1, "output": 2},  # maxpool occupies index 0
+            }[idx][kind]
+            segs.extend([f"simfp_{stage}", str(seq)])
+            prev = seg
+            continue
         m = re.fullmatch(r"(p\d+)_conv(\d+)", seg)
         if m and prev == "sem_seg_head":
             # SemSegFPNHead scale heads: d2 builds Sequential(conv, up, conv,
@@ -133,6 +162,12 @@ def _to_flax_layout(value: np.ndarray, target_shape, conv_transpose: bool = Fals
             if cand.shape == tuple(target_shape):
                 return cand
     if value.ndim <= 1 and value.shape == tuple(target_shape):
+        return value
+    # identity for non-linear tables (rel_pos [2S-1, head_dim], pos_embed
+    # [1, N, D], ...): safe because a NON-square torch linear can only reach
+    # here when its transpose did NOT match, and the ambiguous square case
+    # is resolved by the transpose-first rule above
+    if value.ndim in (2, 3) and value.shape == tuple(target_shape):
         return value
     raise ValueError(f"Cannot map array of shape {value.shape} to {tuple(target_shape)}")
 

@@ -983,3 +983,63 @@ def golden_e2e_panoptic_fpn():
         out_classes=t2n(inst.pred_classes),
         sem_seg=t2n(out["sem_seg"]),
     )
+
+
+def golden_vitdet_backbone():
+    """ViT + SimpleFeaturePyramid backbone golden (the ViTDet trunk):
+    pins windowed + global attention with decomposed rel-pos, abs-pos
+    interpolation (pretrain 224 grid -> 256 input), the SFP deconv/LN/lateral
+    towers, and the converter's ViT/SFP name + layout mapping."""
+    from detectron2.modeling.backbone.vit import ViT, SimpleFeaturePyramid
+    from detectron2.modeling.backbone.fpn import LastLevelMaxPool
+
+    net = ViT(
+        img_size=256,
+        patch_size=16,
+        embed_dim=64,
+        depth=4,
+        num_heads=2,
+        drop_path_rate=0.0,
+        window_size=8,
+        mlp_ratio=4,
+        qkv_bias=True,
+        window_block_indexes=[0, 2],
+        use_rel_pos=True,
+        # pretrain grid == input grid: no abs-pos interpolation, so the pin
+        # is independent of bicubic-resize implementation differences
+        pretrain_img_size=256,
+        out_feature="last_feat",
+    )
+    bb = SimpleFeaturePyramid(
+        net=net,
+        in_feature="last_feat",
+        out_channels=48,
+        scale_factors=(4.0, 2.0, 1.0, 0.5),
+        top_block=LastLevelMaxPool(),
+        norm="LN",
+        square_pad=256,
+    )
+    bb.eval()
+
+    sd = bb.state_dict()
+    names, shapes = [], []
+    new_sd = {}
+    for k, v in sd.items():
+        arr = synth_weight_value(k, tuple(v.shape))
+        new_sd[k] = torch.from_numpy(arr)
+        names.append(k)
+        shapes.append(",".join(map(str, v.shape)))
+    bb.load_state_dict(new_sd)
+
+    rng = np.random.RandomState(21)
+    img = _structured_image(rng, 256, 256).astype(np.float32) / 127.5 - 1.0
+    x = torch.from_numpy(img.transpose(2, 0, 1))[None]
+    with torch.no_grad():
+        feats = bb(x)
+    save(
+        "vitdet_backbone",
+        image=img,
+        weight_names=np.array(names),
+        weight_shapes=np.array(shapes),
+        **{f"feat_{k}": t2n(v) for k, v in feats.items()},
+    )

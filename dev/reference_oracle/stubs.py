@@ -541,4 +541,47 @@ def install():
     om.OmegaConf = OmegaConf
     om.SCMode = types.SimpleNamespace(INSTANTIATE=1, DICT=2)
 
+    # ---- timm (ViT/Swin/MViT backbones import DropPath + Mlp from it)
+    import torch.nn as nn
+
+    class DropPath(nn.Module):
+        """Stochastic depth; identity in eval / at drop_prob 0 (the only
+        modes the oracle exercises)."""
+
+        def __init__(self, drop_prob=0.0):
+            super().__init__()
+            self.drop_prob = drop_prob
+
+        def forward(self, x):
+            if self.drop_prob == 0.0 or not self.training:
+                return x
+            keep = 1 - self.drop_prob
+            shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+            mask = keep + torch.rand(shape, dtype=x.dtype, device=x.device)
+            return x.div(keep) * mask.floor_()
+
+    class Mlp(nn.Module):
+        """timm MLP: fc1 -> act -> fc2 (dropout omitted; oracle runs eval)."""
+
+        def __init__(self, in_features, hidden_features=None, out_features=None, act_layer=nn.GELU, drop=0.0, **kw):
+            super().__init__()
+            out_features = out_features or in_features
+            hidden_features = hidden_features or in_features
+            self.fc1 = nn.Linear(in_features, hidden_features)
+            self.act = act_layer()
+            self.fc2 = nn.Linear(hidden_features, out_features)
+
+        def forward(self, x):
+            return self.fc2(self.act(self.fc1(x)))
+
+    timm = mod("timm")
+    timm_models = mod("timm.models")
+    timm_layers = mod("timm.models.layers")
+    timm.models = timm_models
+    timm_models.layers = timm_layers
+    timm_layers.DropPath = DropPath
+    timm_layers.Mlp = Mlp
+    timm_layers.trunc_normal_ = lambda t, std=1.0: nn.init.trunc_normal_(t, std=std)
+    timm_layers.to_2tuple = lambda x: x if isinstance(x, tuple) else (x, x)
+
     # cv2/psutil/pydoc are real; nothing else needed.
