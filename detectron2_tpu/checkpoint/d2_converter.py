@@ -85,6 +85,33 @@ def flax_path_to_d2_name(path: Tuple[str, ...]) -> str:
             segs.extend(["blocks", m.group(1)])
             prev = seg
             continue
+        # Swin: stage{i}_block{d} -> layers.i.blocks.d ; merge{i} ->
+        # layers.i.downsample ; out_norm{i} -> norm{i} ; patch_norm ->
+        # patch_embed.norm ; mlp_fc{k} -> mlp.fc{k}
+        m = re.fullmatch(r"stage(\d+)_block(\d+)", seg)
+        if m:
+            segs.extend(["layers", m.group(1), "blocks", m.group(2)])
+            prev = seg
+            continue
+        m = re.fullmatch(r"merge(\d+)", seg)
+        if m:
+            segs.extend(["layers", m.group(1), "downsample"])
+            prev = seg
+            continue
+        m = re.fullmatch(r"out_norm(\d+)", seg)
+        if m:
+            segs.append(f"norm{m.group(1)}")
+            prev = seg
+            continue
+        if seg == "patch_norm":
+            segs.extend(["patch_embed", "norm"])
+            prev = seg
+            continue
+        m = re.fullmatch(r"mlp_fc(\d+)", seg)
+        if m:
+            segs.extend(["mlp", f"fc{m.group(1)}"])
+            prev = seg
+            continue
         if seg == "patch_embed":
             # our patch embed IS the conv; d2 wraps it (PatchEmbed.proj)
             segs.extend(["patch_embed", "proj"])

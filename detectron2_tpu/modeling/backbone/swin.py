@@ -91,7 +91,7 @@ class SwinBlock(nn.Module):
         shift = min(shift, ws - 1) if ws > 1 else 0
 
         shortcut = x
-        x = LayerNorm(self.dim, name="norm1")(x)
+        x = LayerNorm(self.dim, eps=1e-5, name="norm1")(x)
 
         if shift > 0:
             x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
@@ -128,7 +128,7 @@ class SwinBlock(nn.Module):
             x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
 
         x = shortcut + x
-        y = LayerNorm(self.dim, name="norm2")(x)
+        y = LayerNorm(self.dim, eps=1e-5, name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=x.dtype, name="mlp_fc1")(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, name="mlp_fc2", dtype=x.dtype)(y)
@@ -148,10 +148,13 @@ class PatchMerging(nn.Module):
         if pad_h or pad_w:
             x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
             H, W = H + pad_h, W + pad_w
-        x = x.reshape(B, H // 2, 2, W // 2, 2, C).transpose(0, 1, 3, 2, 4, 5).reshape(
+        # quadrant concat order matches the reference (swin.py:322-326:
+        # cat([x0(h0,w0), x1(h1,w0), x2(h0,w1), x3(h1,w1)]) — wsub major,
+        # hsub minor) so pretrained reduction weights load correctly
+        x = x.reshape(B, H // 2, 2, W // 2, 2, C).transpose(0, 1, 3, 4, 2, 5).reshape(
             B, H // 2, W // 2, 4 * C
         )
-        x = LayerNorm(4 * C, name="norm")(x)
+        x = LayerNorm(4 * C, eps=1e-5, name="norm")(x)
         return nn.Dense(2 * self.dim, use_bias=False, name="reduction", dtype=x.dtype)(x)
 
 
@@ -177,7 +180,7 @@ class SwinTransformer(Backbone):
             dtype=x.dtype,
             name="patch_embed",
         )(x)
-        x = LayerNorm(self.embed_dim, name="patch_norm")(x)
+        x = LayerNorm(self.embed_dim, eps=1e-5, name="patch_norm")(x)
 
         outs = {}
         dim = self.embed_dim
@@ -194,7 +197,7 @@ class SwinTransformer(Backbone):
                 )(x)
             name = f"p{i}"
             if name in self.out_features:
-                outs[name] = LayerNorm(dim, name=f"out_norm{i}")(x)
+                outs[name] = LayerNorm(dim, eps=1e-5, name=f"out_norm{i}")(x)
             if i < len(self.depths) - 1:
                 x = PatchMerging(dim=dim, name=f"merge{i}")(x)
                 dim *= 2

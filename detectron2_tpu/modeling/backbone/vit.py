@@ -162,7 +162,7 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x):
         shortcut = x
-        x = LayerNorm(self.dim, name="norm1")(x)
+        x = LayerNorm(self.dim, eps=1e-5, name="norm1")(x)
         if self.window_size > 0:
             H, W = x.shape[1], x.shape[2]
             x, pad_hw = window_partition(x, self.window_size)
@@ -184,7 +184,7 @@ class Block(nn.Module):
 
         x = shortcut + x
         x = x + Mlp(int(self.dim * self.mlp_ratio), self.dim, name="mlp")(
-            LayerNorm(self.dim, name="norm2")(x)
+            LayerNorm(self.dim, eps=1e-5, name="norm2")(x)
         )
 
         if self.use_residual_block:

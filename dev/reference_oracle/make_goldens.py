@@ -1043,3 +1043,94 @@ def golden_vitdet_backbone():
         weight_shapes=np.array(shapes),
         **{f"feat_{k}": t2n(v) for k, v in feats.items()},
     )
+
+
+def golden_swin_backbone():
+    """Swin-tiny-ish backbone golden: pins shifted-window attention with
+    relative-position bias, cyclic-shift masking, patch merging (quadrant
+    concat order), and the Swin converter name mapping."""
+    from detectron2.modeling.backbone.swin import SwinTransformer
+
+    bb = SwinTransformer(
+        pretrain_img_size=224,
+        patch_size=4,
+        embed_dim=32,
+        depths=(2, 2),
+        num_heads=(2, 4),
+        window_size=7,
+        drop_path_rate=0.0,
+        ape=False,
+        patch_norm=True,
+        out_indices=(0, 1),
+    )
+    bb.eval()
+
+    sd = bb.state_dict()
+    names, shapes = [], []
+    new_sd = {}
+    for k, v in sd.items():
+        if "relative_position_index" in k or "attn_mask" in k:
+            new_sd[k] = v
+            continue
+        arr = synth_weight_value(k, tuple(v.shape))
+        new_sd[k] = torch.from_numpy(arr)
+        names.append(k)
+        shapes.append(",".join(map(str, v.shape)))
+    bb.load_state_dict(new_sd)
+
+    rng = np.random.RandomState(61)
+    img = _structured_image(rng, 224, 224).astype(np.float32) / 127.5 - 1.0
+    x = torch.from_numpy(img.transpose(2, 0, 1))[None]
+    with torch.no_grad():
+        feats = bb(x)
+    save(
+        "swin_backbone",
+        image=img,
+        weight_names=np.array(names),
+        weight_shapes=np.array(shapes),
+        **{f"feat_{k}": t2n(v) for k, v in feats.items()},
+    )
+
+
+def golden_mvit_backbone():
+    """MViTv2-tiny-ish backbone golden: pins pooled multiscale attention
+    (shared per-head depthwise pool convs + post-pool LN), the hybrid
+    window/global schedule, adaptive kv strides, runtime-interpolated rel-pos,
+    residual pooling, and the MViT converter name mapping."""
+    from detectron2.modeling.backbone.mvit import MViT
+
+    bb = MViT(
+        img_size=224,
+        embed_dim=32,
+        depth=6,
+        num_heads=1,
+        last_block_indexes=(0, 2, 4, 5),
+        drop_path_rate=0.0,
+        use_rel_pos=True,
+        use_abs_pos=False,
+        out_features=("scale2", "scale3", "scale4", "scale5"),
+    )
+    bb.eval()
+
+    sd = bb.state_dict()
+    names, shapes = [], []
+    new_sd = {}
+    for k, v in sd.items():
+        arr = synth_weight_value(k, tuple(v.shape))
+        new_sd[k] = torch.from_numpy(arr)
+        names.append(k)
+        shapes.append(",".join(map(str, v.shape)))
+    bb.load_state_dict(new_sd)
+
+    rng = np.random.RandomState(71)
+    img = _structured_image(rng, 224, 224).astype(np.float32) / 127.5 - 1.0
+    x = torch.from_numpy(img.transpose(2, 0, 1))[None]
+    with torch.no_grad():
+        feats = bb(x)
+    save(
+        "mvit_backbone",
+        image=img,
+        weight_names=np.array(names),
+        weight_shapes=np.array(shapes),
+        **{f"feat_{k}": t2n(v) for k, v in feats.items()},
+    )
