@@ -27,6 +27,8 @@ _NORM_SEGMENTS = ("FrozenBatchNorm2d_", "GroupNorm_", "LayerNorm_", "SyncBatchNo
 _LEAF_RENAMES = {
     "kernel": "weight",
     "scale": "weight",  # flax GroupNorm/LayerNorm scale
+    "mean": "running_mean",  # flax nn.BatchNorm batch_stats
+    "var": "running_var",
 }
 
 _SEGMENT_RENAMES = {}
@@ -135,6 +137,23 @@ def flax_path_to_d2_name(path: Tuple[str, ...]) -> str:
             segs.extend([f"simfp_{stage}", str(seq)])
             prev = seg
             continue
+        # RegNet: s{i}_b{j} -> s{i}.b{j+1} (d2 numbers blocks from 1); the
+        # bottleneck transform members live under "f" with sibling _bn norms
+        # (fixed up on the final name below)
+        m = re.fullmatch(r"s(\d+)_b(\d+)", seg)
+        if m:
+            segs.extend([f"s{m.group(1)}", f"b{int(m.group(2)) + 1}"])
+            prev = "__regnet_block__"
+            continue
+        if prev == "__regnet_block__" and seg in ("a", "b", "c", "se"):
+            segs.extend(["f", seg])
+            prev = seg
+            continue
+        m = re.fullmatch(r"f_ex_(\d+)", seg)
+        if m:
+            segs.extend(["f_ex", m.group(1)])
+            prev = seg
+            continue
         m = re.fullmatch(r"(p\d+)_conv(\d+)", seg)
         if m and prev == "sem_seg_head":
             # SemSegFPNHead scale heads: d2 builds Sequential(conv, up, conv,
@@ -159,7 +178,39 @@ def flax_path_to_d2_name(path: Tuple[str, ...]) -> str:
     if leaf == "conv2_kernel":
         segs.append("conv2")
         leaf = "weight"
-    return ".".join(segs + [leaf])
+    name = ".".join(segs + [leaf])
+    # RegNet structural fixups: d2 puts the transform norms as SIBLINGS with
+    # an _bn suffix, the shortcut norm as "bn", and wraps the stem conv
+    name = re.sub(r"\.f\.([abc])\.norm\.", r".f.\1_bn.", name)
+    name = re.sub(r"(\.b\d+)\.proj\.norm\.", r"\1.bn.", name)
+    name = re.sub(r"(^|\.)stem\.weight$", r"\1stem.conv.weight", name)
+    name = re.sub(r"(^|\.)stem\.norm\.", r"\1stem.bn.", name)
+    return name
+
+
+def _alt_d2_names(name: str):
+    """Alternate candidate names tried when the primary mapping misses.
+
+    Dense-head subnets: without norm, d2's Sequential is (conv, relu)*N and
+    our conv i maps to index 2i (the primary rule); WITH norm it is
+    (conv, norm, relu)*N, so conv i sits at 3i and its norm at 3i+1."""
+    import re
+
+    m = re.search(r"(cls_subnet|bbox_subnet)\.(\d+)\.norm\.(\w+)$", name)
+    if m and int(m.group(2)) % 2 == 0:
+        i = int(m.group(2)) // 2
+        yield re.sub(
+            r"(cls_subnet|bbox_subnet)\.\d+\.norm\.(\w+)$",
+            rf"\g<1>.{3 * i + 1}.\g<2>",
+            name,
+        )
+        return
+    m = re.search(r"(cls_subnet|bbox_subnet)\.(\d+)\.(\w+)$", name)
+    if m and int(m.group(2)) % 2 == 0:
+        i = int(m.group(2)) // 2
+        yield re.sub(
+            r"(cls_subnet|bbox_subnet)\.\d+\.(\w+)$", rf"\g<1>.{3 * i}.\g<2>", name
+        )
 
 
 def _to_flax_layout(value: np.ndarray, target_shape, conv_transpose: bool = False) -> np.ndarray:
@@ -226,6 +277,11 @@ def convert_d2_state_dict(state_dict: Dict[str, Any], params) -> Tuple[Any, str]
         # holder object whose attr paths come first
         name_keys = tuple(k for k in keys if k not in ("params", "batch_stats", "frozen"))
         d2_name = flax_path_to_d2_name(name_keys)
+        if d2_name not in state_dict:
+            for alt in _alt_d2_names(d2_name):
+                if alt in state_dict:
+                    d2_name = alt
+                    break
         is_deconv = any(k.startswith("ConvTranspose") for k in keys)
         if d2_name in state_dict:
             try:

@@ -1,5 +1,6 @@
 from detectron2_tpu.modeling.meta_arch.build import META_ARCH_REGISTRY, build_model
 from detectron2_tpu.modeling.meta_arch.dense_detector import DenseDetector
+from detectron2_tpu.modeling.meta_arch.fcos import FCOS, FCOSHead
 from detectron2_tpu.modeling.meta_arch.panoptic_fpn import PanopticFPN
 from detectron2_tpu.modeling.meta_arch.rcnn import GeneralizedRCNN, ProposalNetwork
 from detectron2_tpu.modeling.meta_arch.retinanet import RetinaNet, RetinaNetHead

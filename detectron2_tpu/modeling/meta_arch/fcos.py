@@ -45,12 +45,12 @@ class FCOSHead(nn.Module):
         from detectron2_tpu.layers.wrappers import Conv2d
 
         cls_convs = [
-            Conv2d(features=d, kernel_size=3, padding=1, use_bias=not self.norm,
+            Conv2d(features=d, kernel_size=3, padding=1, use_bias=True,
                    norm=get_norm(self.norm, d), activation=nn.relu, name=f"cls_subnet{i}")
             for i, d in enumerate(self.conv_dims)
         ]
         box_convs = [
-            Conv2d(features=d, kernel_size=3, padding=1, use_bias=not self.norm,
+            Conv2d(features=d, kernel_size=3, padding=1, use_bias=True,
                    norm=get_norm(self.norm, d), activation=nn.relu, name=f"bbox_subnet{i}")
             for i, d in enumerate(self.conv_dims)
         ]
@@ -123,7 +123,7 @@ class FCOS(DenseDetector):
         return gen(grid_sizes)
 
     @nn.compact
-    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False):
+    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False, raw: bool = False):
         images = self.preprocess_image(batch["image"])
         features_dict = self.backbone(images, train=train)
         features = [features_dict[f] for f in self.head_in_features]
@@ -135,6 +135,9 @@ class FCOS(DenseDetector):
         deltas_l = [permute_to_N_HWA_K(x, 4).astype(jnp.float32) for x in deltas_l]
         ctr_l = [permute_to_N_HWA_K(x, 1).astype(jnp.float32) for x in ctr_l]
 
+        if raw:
+            # pre-decode head outputs for parity testing / export debugging
+            return {"logits": logits_l, "deltas": deltas_l, "ctrness": ctr_l}
         if train:
             return self.losses(
                 anchors, logits_l, deltas_l, ctr_l,

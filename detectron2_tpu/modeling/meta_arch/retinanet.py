@@ -49,7 +49,7 @@ class RetinaNetHead(nn.Module):
                 features=d,
                 kernel_size=3,
                 padding=1,
-                use_bias=not self.norm,
+                use_bias=True,
                 norm=get_norm(self.norm, d),
                 activation=nn.relu,
                 name=f"cls_subnet{i}",
@@ -61,7 +61,7 @@ class RetinaNetHead(nn.Module):
                 features=d,
                 kernel_size=3,
                 padding=1,
-                use_bias=not self.norm,
+                use_bias=True,
                 norm=get_norm(self.norm, d),
                 activation=nn.relu,
                 name=f"bbox_subnet{i}",

@@ -91,6 +91,14 @@ def detector_postprocess(
     boxes[:, 0::2] = boxes[:, 0::2].clip(0, output_width)
     boxes[:, 1::2] = boxes[:, 1::2].clip(0, output_height)
 
+    # drop empty boxes after clipping (reference postprocessing.py:39-42:
+    # results = results[output_boxes.nonempty()])
+    nonempty = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
+    boxes, scores, classes = boxes[nonempty], scores[nonempty], classes[nonempty]
+    valid_idx = np.where(valid)[0][nonempty]
+    valid = np.zeros_like(np.asarray(results["valid"], bool))
+    valid[valid_idx] = True
+
     out = Instances((output_height, output_width))
     out.pred_boxes = Boxes(boxes.astype(np.float32))
     out.scores = scores

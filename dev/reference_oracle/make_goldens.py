@@ -467,6 +467,14 @@ def synth_weight_value(name: str, shape) -> np.ndarray:
         # detection scores ~sigmoid(0) and near-tie NMS ordering becomes
         # implementation-noise sensitive (a degenerate parity fixture)
         return (rng.standard_normal(shape) * 0.3).astype(np.float32)
+    if name.endswith("bbox_pred.weight") and len(shape) == 4 and shape[0] == 4:
+        # FCOS's single-point box head: tiny weights leave every box a
+        # sub-pixel sliver at its anchor point (all-degenerate fixture);
+        # larger weights give real box extents. Scoped to the 4-channel conv
+        # so anchor-based heads (exp-decode, tie-risk) keep small deltas.
+        return (rng.standard_normal(shape) * 3.0).astype(np.float32)
+    if name.endswith("ctrness.weight") and len(shape) == 4:
+        return (rng.standard_normal(shape) * 2.0).astype(np.float32)
     return (rng.standard_normal(shape) * 0.05).astype(np.float32)
 
 
@@ -1133,4 +1141,124 @@ def golden_mvit_backbone():
         weight_names=np.array(names),
         weight_shapes=np.array(shapes),
         **{f"feat_{k}": t2n(v) for k, v in feats.items()},
+    )
+
+
+def golden_regnet_backbone():
+    """RegNetY backbone golden: pins the width-ladder parameterization,
+    grouped bottleneck blocks with SE, and the RegNet converter name mapping
+    (stem conv/bn, sX.bY.f.{a,b,c}_bn siblings, se.f_ex indices)."""
+    from detectron2.modeling.backbone.regnet import RegNet, ResBottleneckBlock, SimpleStem
+
+    bb = RegNet(
+        stem_class=SimpleStem,
+        stem_width=16,
+        block_class=ResBottleneckBlock,
+        depth=8,
+        w_a=24.48,
+        w_0=24,
+        w_m=2.54,
+        group_width=8,
+        se_ratio=0.25,
+        out_features=["s1", "s2", "s3"],
+    )
+    bb.eval()
+
+    sd = bb.state_dict()
+    names, shapes = [], []
+    new_sd = {}
+    for k, v in sd.items():
+        if k.endswith("num_batches_tracked"):
+            new_sd[k] = v
+            continue
+        arr = synth_weight_value(k, tuple(v.shape))
+        new_sd[k] = torch.from_numpy(arr)
+        names.append(k)
+        shapes.append(",".join(map(str, v.shape)))
+    bb.load_state_dict(new_sd)
+
+    rng = np.random.RandomState(81)
+    img = _structured_image(rng, 224, 224).astype(np.float32) / 127.5 - 1.0
+    x = torch.from_numpy(img.transpose(2, 0, 1))[None]
+    with torch.no_grad():
+        feats = bb(x)
+    save(
+        "regnet_backbone",
+        image=img,
+        weight_names=np.array(names),
+        weight_shapes=np.array(shapes),
+        **{f"feat_{k}": t2n(v) for k, v in feats.items()},
+    )
+
+
+def golden_e2e_fcos():
+    """FCOS R18-FPN inference golden — the anchor-free one-stage path:
+    point anchors, linear (stride-normalized) box transform, centerness
+    scoring sqrt(cls*ctr), GN dense heads."""
+    from detectron2.config import get_cfg
+    from detectron2.modeling import build_backbone
+    from detectron2.modeling.meta_arch.fcos import FCOS, FCOSHead
+
+    cfg = get_cfg()
+    cfg.MODEL.DEVICE = "cpu"
+    cfg.MODEL.BACKBONE.NAME = "build_retinanet_resnet_fpn_backbone"
+    cfg.MODEL.RESNETS.DEPTH = 18
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 64
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res3", "res4", "res5"]
+    cfg.MODEL.FPN.IN_FEATURES = ["res3", "res4", "res5"]
+    cfg.MODEL.FPN.OUT_CHANNELS = 64
+    backbone = build_backbone(cfg)
+
+    feats = ["p3", "p4", "p5", "p6", "p7"]
+    shapes = [backbone.output_shape()[f] for f in feats]
+    head = FCOSHead(input_shape=shapes, conv_dims=[64, 64], norm="GN", num_classes=7)
+    model = FCOS(
+        backbone=backbone,
+        head=head,
+        head_in_features=feats,
+        num_classes=7,
+        test_score_thresh=0.2,
+        test_nms_thresh=0.6,
+        max_detections_per_image=100,
+        pixel_mean=[103.530, 116.280, 123.675],
+        pixel_std=[1.0, 1.0, 1.0],
+    )
+    model.eval()
+
+    sd = model.state_dict()
+    names, shp = [], []
+    new_sd = {}
+    for k, v in sd.items():
+        if k.endswith("num_batches_tracked") or "cell_anchors" in k or "pixel_" in k:
+            new_sd[k] = v
+            continue
+        arr = synth_weight_value(k, tuple(v.shape))
+        new_sd[k] = torch.from_numpy(arr)
+        names.append(k)
+        shp.append(",".join(map(str, v.shape)))
+    model.load_state_dict(new_sd)
+
+    rng = np.random.RandomState(91)
+    img = _structured_image(rng, 320, 320)
+    inp = {"image": torch.from_numpy(img.transpose(2, 0, 1)).float(), "height": 320, "width": 320}
+    with torch.no_grad():
+        images = model.preprocess_image([inp])
+        fs = model.backbone(images.tensor)
+        fl = [fs[f] for f in feats]
+        logits, deltas, ctrness = model.head(fl)
+        inter = {}
+        for i, f in enumerate(feats):
+            inter[f"logits_{f}"] = t2n(logits[i])
+            inter[f"deltas_{f}"] = t2n(deltas[i])
+            inter[f"ctrness_{f}"] = t2n(ctrness[i])
+        out = model([inp])[0]["instances"]
+    save(
+        "e2e_fcos_r18",
+        image=img,
+        weight_names=np.array(names),
+        weight_shapes=np.array(shp),
+        out_boxes=t2n(out.pred_boxes.tensor),
+        out_scores=t2n(out.scores),
+        out_classes=t2n(out.pred_classes),
+        **inter,
     )

@@ -256,7 +256,10 @@ def _tv_nms(boxes: torch.Tensor, scores: torch.Tensor, iou_threshold: float):
         yy2 = torch.min(y2[i], y2)
         inter = (xx2 - xx1).clamp(min=0) * (yy2 - yy1).clamp(min=0)
         iou = inter / (areas[i] + areas - inter)
-        alive &= iou <= iou_threshold
+        # suppress only on iou > threshold: 0/0 = NaN between two zero-area
+        # boxes must NOT suppress (torchvision keeps zero-area boxes — their
+        # IoU comparison 'NaN > thr' is false in the C++ kernel)
+        alive &= ~(iou > iou_threshold)
         alive[i] = False
     return torch.as_tensor(keep, dtype=torch.int64)
 

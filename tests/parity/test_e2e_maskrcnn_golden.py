@@ -40,6 +40,14 @@ def synth_weight_value(name: str, shape) -> np.ndarray:
         # detection scores ~sigmoid(0) and near-tie NMS ordering becomes
         # implementation-noise sensitive (a degenerate parity fixture)
         return (rng.standard_normal(shape) * 0.3).astype(np.float32)
+    if name.endswith("bbox_pred.weight") and len(shape) == 4 and shape[0] == 4:
+        # FCOS's single-point box head: tiny weights leave every box a
+        # sub-pixel sliver at its anchor point (all-degenerate fixture);
+        # larger weights give real box extents. Scoped to the 4-channel conv
+        # so anchor-based heads (exp-decode, tie-risk) keep small deltas.
+        return (rng.standard_normal(shape) * 3.0).astype(np.float32)
+    if name.endswith("ctrness.weight") and len(shape) == 4:
+        return (rng.standard_normal(shape) * 2.0).astype(np.float32)
     return (rng.standard_normal(shape) * 0.05).astype(np.float32)
 
 
