@@ -161,6 +161,37 @@ def flax_path_to_d2_name(path: Tuple[str, ...]) -> str:
             segs.extend([m.group(1), str(2 * int(m.group(2)))])
             prev = seg
             continue
+        # DeepLabV3+ decoder stages (reference deeplab/semantic_seg.py:96-170):
+        # {feat}_project -> decoder.{feat}.project_conv ; {feat}_fuse{k} ->
+        # decoder.{feat}.fuse_conv.{k}. The ASPP stage keeps our "aspp" name
+        # here; _alt_d2_names tries decoder.<feat>.project_conv for it.
+        m = re.fullmatch(r"(\w+?)_project", seg)
+        if m and prev in ("sem_seg_head", "ins_embed_head"):
+            segs.extend(["decoder", m.group(1), "project_conv"])
+            prev = seg
+            continue
+        m = re.fullmatch(r"(\w+?)_fuse(\d+)", seg)
+        if m and prev in ("sem_seg_head", "ins_embed_head"):
+            segs.extend(["decoder", m.group(1), "fuse_conv", m.group(2)])
+            prev = seg
+            continue
+        if prev == "aspp":
+            # d2 ASPP internals (layers/aspp.py:60-110): convs.0 = 1x1,
+            # convs.{1+i} = atrous i, convs.{1+N} = image pooling Sequential
+            # (pool, conv); project keeps its name
+            if seg == "conv1x1":
+                segs.extend(["convs", "0"])
+                prev = seg
+                continue
+            m = re.fullmatch(r"atrous(\d+)", seg)
+            if m:
+                segs.extend(["convs", str(1 + int(m.group(1)))])
+                prev = seg
+                continue
+            if seg == "pool_conv":
+                segs.extend(["convs", "4", "1"])
+                prev = seg
+                continue
         # res2_0 -> res2.0 style stage blocks; box_head_0 -> box_head.0
         # (cascade per-stage tuple fields flax-name with an _i suffix where
         # d2 uses a ModuleList index)
@@ -196,6 +227,12 @@ def _alt_d2_names(name: str):
     (conv, norm, relu)*N, so conv i sits at 3i and its norm at 3i+1."""
     import re
 
+    if ".aspp." in name:
+        # DeepLabV3+ nests its ASPP as decoder.<deepest-feature>.project_conv
+        # (plain DeepLabV3 keeps it as .aspp., the primary mapping)
+        for f in ("res5", "res4", "res3", "p5"):
+            yield name.replace(".aspp.", f".decoder.{f}.project_conv.")
+        return
     m = re.search(r"(cls_subnet|bbox_subnet)\.(\d+)\.norm\.(\w+)$", name)
     if m and int(m.group(2)) % 2 == 0:
         i = int(m.group(2)) // 2

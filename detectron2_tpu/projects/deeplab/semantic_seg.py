@@ -147,29 +147,32 @@ class DeepLabV3PlusHead(nn.Module):
         )
 
     def _fuse_conv(self, x, out_channels, name, train):
-        """3x3 fuse conv; optionally depthwise separable (the Panoptic-DeepLab
-        5x5 variant collapses to two stacked 3x3 DW-separable convs here)."""
+        """Decoder fuse (reference deeplab/semantic_seg.py:128-165): either a
+        single 5x5 depthwise-separable conv (the Panoptic-DeepLab variant —
+        same receptive field as two 3x3s) or TWO stacked 3x3 convs."""
         if self.use_depthwise_separable_conv:
             return DepthwiseSeparableConv2d(
                 in_channels=x.shape[-1],
                 out_channels=out_channels,
-                kernel_size=3,
-                padding=1,
+                kernel_size=5,
+                padding=2,
                 norm1=self.norm,
                 activation1=nn.relu,
                 norm2=self.norm,
                 activation2=nn.relu,
                 name=name,
             )(x, train=train)
-        return Conv2d(
-            features=out_channels,
-            kernel_size=3,
-            padding=1,
-            use_bias=not self.norm,
-            norm=get_norm(self.norm, out_channels),
-            activation=nn.relu,
-            name=name,
-        )(x, train=train)
+        for k in range(2):
+            x = Conv2d(
+                features=out_channels,
+                kernel_size=3,
+                padding=1,
+                use_bias=not self.norm,
+                norm=get_norm(self.norm, out_channels),
+                activation=nn.relu,
+                name=f"{name}{k}",
+            )(x, train=train)
+        return x
 
     @nn.compact
     def __call__(self, features, targets: Optional[jnp.ndarray] = None, train: bool = False):

@@ -1262,3 +1262,67 @@ def golden_e2e_fcos():
         out_classes=t2n(out.pred_classes),
         **inter,
     )
+
+
+def golden_e2e_deeplab():
+    """DeepLabV3+ R50 (deeplab backbone) semantic segmentation golden — pins
+    the DeepLab ResNet (3-conv stem, res5 dilation + multi-grid), the ASPP
+    module (atrous branches + image pooling), and the V3+ decoder (projected
+    low-level fusion with two stacked 3x3 fuse convs)."""
+    import sys
+
+    sys.path.insert(0, "/root/reference/projects/DeepLab")
+    from deeplab import add_deeplab_config  # noqa
+    from detectron2.config import get_cfg
+    from detectron2.modeling import build_model
+
+    cfg = get_cfg()
+    add_deeplab_config(cfg)
+    cfg.MODEL.DEVICE = "cpu"
+    cfg.MODEL.META_ARCHITECTURE = "SemanticSegmentor"
+    cfg.MODEL.BACKBONE.NAME = "build_resnet_deeplab_backbone"
+    cfg.MODEL.RESNETS.DEPTH = 50
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res2", "res5"]
+    cfg.MODEL.RESNETS.RES5_MULTI_GRID = [1, 2, 4]
+    cfg.MODEL.RESNETS.NORM = "BN"
+    cfg.MODEL.RESNETS.STEM_TYPE = "deeplab"
+    cfg.MODEL.SEM_SEG_HEAD.NAME = "DeepLabV3PlusHead"
+    cfg.MODEL.SEM_SEG_HEAD.IN_FEATURES = ["res2", "res5"]
+    cfg.MODEL.SEM_SEG_HEAD.PROJECT_FEATURES = ["res2"]
+    cfg.MODEL.SEM_SEG_HEAD.PROJECT_CHANNELS = [48]
+    cfg.MODEL.SEM_SEG_HEAD.ASPP_CHANNELS = 64
+    cfg.MODEL.SEM_SEG_HEAD.ASPP_DILATIONS = [6, 12, 18]
+    cfg.MODEL.SEM_SEG_HEAD.ASPP_DROPOUT = 0.0
+    cfg.MODEL.SEM_SEG_HEAD.CONVS_DIM = 64
+    cfg.MODEL.SEM_SEG_HEAD.COMMON_STRIDE = 4
+    cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES = 9
+    cfg.MODEL.SEM_SEG_HEAD.NORM = "BN"
+    cfg.MODEL.SEM_SEG_HEAD.LOSS_TYPE = "cross_entropy"
+    model = build_model(cfg)
+    model.eval()
+
+    sd = model.state_dict()
+    names, shapes = [], []
+    new_sd = {}
+    for k, v in sd.items():
+        if k.endswith("num_batches_tracked") or "pixel_" in k:
+            new_sd[k] = v
+            continue
+        arr = synth_weight_value(k, tuple(v.shape))
+        new_sd[k] = torch.from_numpy(arr)
+        names.append(k)
+        shapes.append(",".join(map(str, v.shape)))
+    model.load_state_dict(new_sd)
+
+    rng = np.random.RandomState(101)
+    img = _structured_image(rng, 256, 256)
+    inp = {"image": torch.from_numpy(img.transpose(2, 0, 1)).float(), "height": 256, "width": 256}
+    with torch.no_grad():
+        out = model([inp])[0]["sem_seg"]  # [C, 256, 256]
+    save(
+        "e2e_deeplab_r50",
+        image=img,
+        weight_names=np.array(names),
+        weight_shapes=np.array(shapes),
+        sem_seg=t2n(out),
+    )
