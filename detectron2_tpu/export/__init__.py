@@ -13,6 +13,11 @@ pure jittable function of fixed-shape arrays, so export is first-class:
   tensor-only signature.
 """
 
-from detectron2_tpu.export.api import TracingAdapter, aot_compile, export_stablehlo
+from detectron2_tpu.export.api import (
+    TracingAdapter,
+    aot_compile,
+    export_stablehlo,
+    load_stablehlo,
+)
 
-__all__ = ["TracingAdapter", "aot_compile", "export_stablehlo"]
+__all__ = ["TracingAdapter", "aot_compile", "export_stablehlo", "load_stablehlo"]

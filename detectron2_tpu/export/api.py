@@ -9,7 +9,7 @@ import jax.numpy as jnp
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["TracingAdapter", "aot_compile", "export_stablehlo"]
+__all__ = ["TracingAdapter", "aot_compile", "export_stablehlo", "load_stablehlo"]
 
 
 class TracingAdapter:
@@ -52,6 +52,22 @@ def export_stablehlo(model_apply: Callable, example_batch: Dict[str, Any], path:
             f.write(blob)
         logger.info("Serialized StableHLO export (%d bytes) to %s", len(blob), path)
     return blob
+
+
+def load_stablehlo(path_or_bytes):
+    """Deserialize a StableHLO artifact written by export_stablehlo and
+    return a callable executing it on the local PJRT backend. The artifact
+    carries the input/output pytree structure, so the callable takes the
+    same batch dict the original model did."""
+    from jax import export as jax_export
+
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        blob = bytearray(path_or_bytes)
+    else:
+        with open(path_or_bytes, "rb") as f:
+            blob = bytearray(f.read())
+    restored = jax_export.deserialize(blob)
+    return restored.call
 
 
 def aot_compile(model_apply: Callable, example_batch: Dict[str, Any]):
