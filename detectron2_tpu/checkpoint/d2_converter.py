@@ -233,6 +233,14 @@ def _alt_d2_names(name: str):
         for f in ("res5", "res4", "res3", "p5"):
             yield name.replace(".aspp.", f".decoder.{f}.project_conv.")
         return
+    # PointRend (reference mask_head.py PointRendMaskHead): the coarse
+    # ConvFCHead lives at roi_heads.mask_head.coarse_head and the point head
+    # at roi_heads.mask_head.point_head — our flax scopes are mask_head /
+    # point_head directly
+    if ".mask_head." in name and ".coarse_head." not in name:
+        yield name.replace(".mask_head.", ".mask_head.coarse_head.")
+    if ".point_head." in name and ".mask_head." not in name:
+        yield name.replace(".point_head.", ".mask_head.point_head.")
     m = re.search(r"(cls_subnet|bbox_subnet)\.(\d+)\.norm\.(\w+)$", name)
     if m and int(m.group(2)) % 2 == 0:
         i = int(m.group(2)) // 2
@@ -276,6 +284,12 @@ def _to_flax_layout(value: np.ndarray, target_shape, conv_transpose: bool = Fals
             cand = value.transpose(*perm)
             if cand.shape == tuple(target_shape):
                 return cand
+    if value.ndim == 3 and value.shape[-1] == 1:
+        # torch Conv1d(kernel_size=1) used as a pointwise FC (PointRend's
+        # point head): [out, in, 1] -> flax Dense [in, out]
+        cand = value[:, :, 0].T
+        if cand.shape == tuple(target_shape):
+            return cand
     if value.ndim <= 1 and value.shape == tuple(target_shape):
         return value
     # identity for non-linear tables (rel_pos [2S-1, head_dim], pos_embed

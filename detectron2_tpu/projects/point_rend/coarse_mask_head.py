@@ -1,6 +1,8 @@
-"""Coarse mask head (reference projects/PointRend/point_rend/coarse_mask_head.py):
-conv + FCs predicting a low-resolution (7x7) per-class mask that the point
-head subsequently refines."""
+"""Coarse mask head (reference projects/PointRend/point_rend/mask_head.py
+ConvFCHead, _version 2): given point-pooled per-roi features it reduces
+channels (1x1 conv, only when in_channels > conv_dim) and spatial dims (2x2
+stride-2 conv), then FC layers predict a low-resolution (7x7) per-class mask
+that the point head subsequently refines."""
 
 from typing import Tuple
 
@@ -15,7 +17,10 @@ __all__ = ["CoarseMaskHead"]
 
 @ROI_MASK_HEAD_REGISTRY.register()
 class CoarseMaskHead(nn.Module):
-    """conv 1x1 (dim reduce) + 2 FCs + linear to output_side^2 * num_classes."""
+    """[1x1 conv (channel reduce, optional)] + 2x2/2 conv + FCs + linear to
+    output_side^2 * num_classes. Parameter names mirror the reference's
+    ConvFCHead (reduce_channel_dim_conv / reduce_spatial_dim_conv / fcK /
+    prediction) so zoo weights map through the converter."""
 
     num_classes: int
     conv_dim: int = 256
@@ -36,11 +41,26 @@ class CoarseMaskHead(nn.Module):
         """x: [R, h, w, C] pooled features -> [R, side, side, num_classes]."""
         R = x.shape[0]
         side = self.output_side_resolution
-        x = Conv2d(features=self.conv_dim, kernel_size=2, strides=2, activation=nn.relu, name="reduce_spatial_dim_conv")(
-            x, train=train
-        )
-        x = x.reshape(R, -1)
+        if x.shape[-1] > self.conv_dim:
+            x = Conv2d(
+                features=self.conv_dim,
+                kernel_size=1,
+                activation=nn.relu,
+                name="reduce_channel_dim_conv",
+            )(x, train=train)
+        x = Conv2d(
+            features=self.conv_dim,
+            kernel_size=2,
+            strides=2,
+            padding=0,
+            activation=nn.relu,
+            name="reduce_spatial_dim_conv",
+        )(x, train=train)
+        # flatten in torch's CHW order — the reference fc1 weight is laid out
+        # for a [C, h, w] flatten
+        x = x.transpose(0, 3, 1, 2).reshape(R, -1)
         for i, dim in enumerate(self.fc_dims):
-            x = nn.relu(nn.Dense(dim, name=f"coarse_mask_fc{i + 1}")(x))
+            x = nn.relu(nn.Dense(dim, name=f"fc{i + 1}")(x))
         x = nn.Dense(side * side * self.num_classes, name="prediction")(x)
-        return x.reshape(R, side, side, self.num_classes).astype(jnp.float32)
+        # reference output is [R, C, side, side]; ours is NHWC
+        return x.reshape(R, self.num_classes, side, side).transpose(0, 2, 3, 1).astype(jnp.float32)

@@ -3,8 +3,9 @@
 
 The reference builds on ``F.grid_sample``; here ``point_sample`` is an
 explicit 4-tap bilinear gather (align_corners=False pixel-center convention,
-border-clamped), which XLA lowers to a handful of fused gathers — the point
-counts are small and static, so this never touches the RoIAlign hot path.
+zeros-padded out of bounds exactly like torch grid_sample's default), which
+XLA lowers to a handful of fused gathers — the point counts are small and
+static, so this never touches the RoIAlign hot path.
 """
 
 from typing import List, Sequence, Tuple
@@ -15,6 +16,7 @@ import jax.numpy as jnp
 __all__ = [
     "point_sample",
     "point_sample_fine_grained_features",
+    "generate_regular_grid_point_coords",
     "get_uncertain_point_coords_with_randomness",
     "get_uncertain_point_coords_on_grid",
     "get_point_coords_wrt_image",
@@ -45,9 +47,12 @@ def point_sample(x: jnp.ndarray, coords: jnp.ndarray, mode: str = "bilinear") ->
     wy = py - y0
 
     def tap(yi, xi):
+        # torch grid_sample padding_mode="zeros": out-of-range taps are 0
+        inb = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
         yi = jnp.clip(yi.astype(jnp.int32), 0, H - 1)
         xi = jnp.clip(xi.astype(jnp.int32), 0, W - 1)
-        return jax.vmap(lambda img, yy, xx: img[yy, xx])(x, yi, xi)  # [R, P, C]
+        v = jax.vmap(lambda img, yy, xx: img[yy, xx])(x, yi, xi)  # [R, P, C]
+        return v * inb[..., None]
 
     v00 = tap(y0, x0)
     v01 = tap(y0, x0 + 1)
@@ -61,6 +66,18 @@ def point_sample(x: jnp.ndarray, coords: jnp.ndarray, mode: str = "bilinear") ->
         + v10 * wy * (1 - wx)
         + v11 * wy * wx
     )
+
+
+def generate_regular_grid_point_coords(R: int, side_size: int) -> jnp.ndarray:
+    """Regular cell-center grid in [0,1]^2, one per region
+    (reference point_features.py:generate_regular_grid_point_coords —
+    affine_grid with align_corners=False lands on (i + 0.5) / side).
+
+    Returns [R, side*side, 2] (x, y), x fastest."""
+    c = (jnp.arange(side_size, dtype=jnp.float32) + 0.5) / side_size
+    xs, ys = jnp.meshgrid(c, c, indexing="xy")
+    grid = jnp.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1)  # [side^2, 2]
+    return jnp.broadcast_to(grid[None], (R, side_size * side_size, 2))
 
 
 def get_point_coords_wrt_image(boxes: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
@@ -102,10 +119,11 @@ def point_sample_fine_grained_features(
         wy = (py - y0)[..., None]
 
         def tap(yi, xi):
+            inb = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
             yi = jnp.clip(yi.astype(jnp.int32), 0, H - 1)
             xi = jnp.clip(xi.astype(jnp.int32), 0, W - 1)
             b = batch_idx[:, None].astype(jnp.int32)
-            return feat[b, yi, xi]  # [R, P, C] advanced-index gather
+            return feat[b, yi, xi] * inb[..., None]  # [R, P, C] gather, zero-padded
 
         v = (
             tap(y0, x0) * (1 - wy) * (1 - wx)

@@ -26,6 +26,7 @@ from detectron2_tpu.modeling.roi_heads.roi_heads import (
     select_foreground_slots,
 )
 from detectron2_tpu.projects.point_rend.point_features import (
+    generate_regular_grid_point_coords,
     get_point_coords_wrt_image,
     get_uncertain_point_coords_on_grid,
     get_uncertain_point_coords_with_randomness,
@@ -44,32 +45,69 @@ class PointRendROIHeads(StandardROIHeads):
     point_head: Optional[nn.Module] = None
     point_in_features: Tuple[str, ...] = ("p2",)
     point_scales: Tuple[float, ...] = (0.25,)
+    coarse_in_features: Tuple[str, ...] = ("p2",)
+    coarse_scales: Tuple[float, ...] = (0.25,)
+    coarse_pooler_resolution: int = 14
     train_num_points: int = 196
     oversample_ratio: int = 3
     importance_sample_ratio: float = 0.75
-    subdivision_steps: int = 2
+    subdivision_steps: int = 1
     subdivision_num_points: int = 196
+    subdivision_init_resolution: int = 14
 
     @classmethod
     def from_config(cls, cfg, input_shape):
         base = StandardROIHeads.from_config.__func__(cls, cfg, input_shape)
         point_in = tuple(cfg.MODEL.POINT_HEAD.IN_FEATURES)
+        coarse_in = tuple(cfg.MODEL.ROI_MASK_HEAD.IN_FEATURES)
+        # the reference's subdivision shortcut (mask_head.py:_init_point_head):
+        # when a 2x-larger regular init grid still fits the point budget, skip
+        # the step and start there
+        init_res = cfg.MODEL.ROI_MASK_HEAD.OUTPUT_SIDE_RESOLUTION
+        steps = cfg.MODEL.POINT_HEAD.SUBDIVISION_STEPS
+        num_points = cfg.MODEL.POINT_HEAD.SUBDIVISION_NUM_POINTS
+        while 4 * init_res**2 <= num_points:
+            init_res *= 2
+            steps -= 1
         # flax modules are frozen dataclasses: clone with the extra fields
         return base.clone(
             mask_head=build_mask_head(cfg) if cfg.MODEL.MASK_ON else None,
             point_head=build_point_head(cfg) if cfg.MODEL.MASK_ON else None,
             point_in_features=point_in,
             point_scales=tuple(1.0 / input_shape[f].stride for f in point_in),
+            coarse_in_features=coarse_in,
+            coarse_scales=tuple(1.0 / input_shape[f].stride for f in coarse_in),
+            coarse_pooler_resolution=cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION,
             train_num_points=cfg.MODEL.POINT_HEAD.TRAIN_NUM_POINTS,
             oversample_ratio=cfg.MODEL.POINT_HEAD.OVERSAMPLE_RATIO,
             importance_sample_ratio=cfg.MODEL.POINT_HEAD.IMPORTANCE_SAMPLE_RATIO,
-            subdivision_steps=cfg.MODEL.POINT_HEAD.SUBDIVISION_STEPS,
-            subdivision_num_points=cfg.MODEL.POINT_HEAD.SUBDIVISION_NUM_POINTS,
+            subdivision_steps=max(steps, 0),
+            subdivision_num_points=num_points,
+            subdivision_init_resolution=init_res,
         )
 
-    def _point_features(self, feats):
+    def _features_by_name(self, feats, names):
         index_of = {f: i for i, f in enumerate(self.in_features)}
-        return [feats[index_of[f]] for f in self.point_in_features]
+        return [feats[index_of[f]] for f in names]
+
+    def _point_features(self, feats):
+        return self._features_by_name(feats, self.point_in_features)
+
+    def _coarse_pool(self, feats, boxes_flat, batch_idx):
+        """Per-roi coarse-head input: image-level features point-sampled on a
+        regular cell-center grid (reference mask_head.py:_roi_pooler — the
+        'RoIAlign with sampling_ratio=1' equivalent)."""
+        R = boxes_flat.shape[0]
+        res = self.coarse_pooler_resolution
+        grid = generate_regular_grid_point_coords(R, res)
+        pts, _ = point_sample_fine_grained_features(
+            self._features_by_name(feats, self.coarse_in_features),
+            self.coarse_scales,
+            boxes_flat,
+            batch_idx,
+            grid,
+        )
+        return pts.reshape(R, res, res, pts.shape[-1])
 
     # ----------------------------------------------------------- mask branch
     def _forward_mask_train(self, feats, sampled, targets):
@@ -86,7 +124,7 @@ class PointRendROIHeads(StandardROIHeads):
         cls_flat = fg_cls.reshape(-1)
         valid_flat = fg_valid.reshape(-1)
 
-        pooled = self._pooler(self.mask_pooler_resolution)(feats, boxes_flat, batch_idx)
+        pooled = self._coarse_pool(feats, boxes_flat, batch_idx)
         coarse = self.mask_head(pooled, train=True)  # [R, side, side, C]
         side = coarse.shape[1]
 
@@ -139,20 +177,36 @@ class PointRendROIHeads(StandardROIHeads):
         return {"loss_mask": loss_mask, "loss_mask_point": loss_point}
 
     def _forward_mask_inference(self, feats, detections):
+        """Subdivision inference (reference mask_head.py:_subdivision_inference):
+        an initial regular-grid point-head evaluation at the (shortcut-doubled)
+        init resolution, then ``subdivision_steps`` rounds of 2x bilinear
+        upsampling + re-evaluating the N most uncertain cells."""
         B, D = detections["pred_classes"].shape
         boxes_flat = detections["pred_boxes"].reshape(-1, 4)
         batch_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), D)
         classes = detections["pred_classes"].reshape(-1)
+        R = boxes_flat.shape[0]
 
-        pooled = self._pooler(self.mask_pooler_resolution)(feats, boxes_flat, batch_idx)
-        coarse = self.mask_head(pooled, train=False)  # [R, side, side, C]
-        C = coarse.shape[-1]
+        coarse = self.mask_head(self._coarse_pool(feats, boxes_flat, batch_idx), train=False)
+        point_feats = self._point_features(feats)
+
+        def eval_points(coords):
+            fine, _ = point_sample_fine_grained_features(
+                point_feats, self.point_scales, boxes_flat, batch_idx, coords
+            )
+            coarse_at = point_sample(coarse, coords)
+            return self.point_head(fine, coarse_at, train=False)  # [R, P, C]
+
+        init = self.subdivision_init_resolution
+        point_logits = eval_points(generate_regular_grid_point_coords(R, init))
+        C = point_logits.shape[-1]
+        # grid points are h-major, so this lands [R, h, w, C]
+        logits = point_logits.reshape(R, init, init, C)
         cls_idx = jnp.clip(classes, 0, C - 1).astype(jnp.int32)
 
-        logits = coarse
         for _ in range(self.subdivision_steps):
-            R, H, W, _ = logits.shape
-            logits = jax.image.resize(logits, (R, H * 2, W * 2, C), method="bilinear")
+            Rh, H, W = logits.shape[0], logits.shape[1], logits.shape[2]
+            logits = jax.image.resize(logits, (Rh, H * 2, W * 2, C), method="bilinear")
             if C == 1:
                 sel = logits[..., 0]
             else:
@@ -160,11 +214,7 @@ class PointRendROIHeads(StandardROIHeads):
             idx, coords = get_uncertain_point_coords_on_grid(
                 -jnp.abs(sel), self.subdivision_num_points
             )
-            fine, _ = point_sample_fine_grained_features(
-                self._point_features(feats), self.point_scales, boxes_flat, batch_idx, coords
-            )
-            coarse_at = point_sample(coarse, coords)
-            point_logits = self.point_head(fine, coarse_at, train=False)  # [R, N, C]
+            point_logits = eval_points(coords)  # [R, N, C]
             flat = logits.reshape(R, -1, C)
             flat = flat.at[jnp.arange(R)[:, None], idx].set(point_logits)
             logits = flat.reshape(R, H * 2, W * 2, C)

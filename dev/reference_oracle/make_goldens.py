@@ -1326,3 +1326,71 @@ def golden_e2e_deeplab():
         weight_shapes=np.array(shapes),
         sem_seg=t2n(out),
     )
+
+
+def golden_e2e_pointrend():
+    """PointRend e2e golden (reference projects/PointRend/point_rend/mask_head.py
+    PointRendMaskHead): pins the point-sampled coarse pooling (ConvFCHead with
+    channel+spatial reduce convs), the Conv1d point head, and the subdivision
+    inference loop incl. the init-resolution doubling shortcut
+    (7 -> start at 14, 2 remaining steps -> 56x56 masks)."""
+    import sys
+
+    sys.path.insert(0, "/root/reference/projects/PointRend")
+    from point_rend import add_pointrend_config  # noqa
+    from detectron2.modeling import build_model
+
+    cfg = _e2e_cfg_ref()
+    add_pointrend_config(cfg)
+    cfg.MODEL.ROI_MASK_HEAD.NAME = "PointRendMaskHead"
+    cfg.MODEL.ROI_MASK_HEAD.POOLER_TYPE = ""
+    cfg.MODEL.ROI_MASK_HEAD.IN_FEATURES = ["p2"]
+    cfg.MODEL.ROI_MASK_HEAD.FC_DIM = 64
+    cfg.MODEL.ROI_MASK_HEAD.NUM_FC = 2
+    cfg.MODEL.ROI_MASK_HEAD.OUTPUT_SIDE_RESOLUTION = 7
+    cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION = 14
+    # conv_dim < FPN channels (64) so the optional reduce_channel_dim_conv exists
+    cfg.MODEL.ROI_MASK_HEAD.CONV_DIM = 32
+    cfg.MODEL.ROI_MASK_HEAD.POINT_HEAD_ON = True
+    cfg.MODEL.POINT_HEAD.NUM_CLASSES = 7
+    cfg.MODEL.POINT_HEAD.IN_FEATURES = ["p2"]
+    cfg.MODEL.POINT_HEAD.FC_DIM = 32
+    cfg.MODEL.POINT_HEAD.NUM_FC = 3
+    cfg.MODEL.POINT_HEAD.SUBDIVISION_STEPS = 3
+    cfg.MODEL.POINT_HEAD.SUBDIVISION_NUM_POINTS = 196
+
+    model = build_model(cfg)
+    model.eval()
+
+    sd = model.state_dict()
+    names, shapes = [], []
+    new_sd = {}
+    for k, v in sd.items():
+        if k.endswith("num_batches_tracked") or "cell_anchors" in k or "pixel_" in k:
+            new_sd[k] = v
+            continue
+        arr = synth_weight_value(k, tuple(v.shape))
+        new_sd[k] = torch.from_numpy(arr)
+        names.append(k)
+        shapes.append(",".join(map(str, v.shape)))
+    model.load_state_dict(new_sd)
+
+    rng = np.random.RandomState(321)
+    img = _structured_image(rng, 320, 320)
+    inp = {
+        "image": torch.from_numpy(img.transpose(2, 0, 1)).float(),
+        "height": 320,
+        "width": 320,
+    }
+    with torch.no_grad():
+        raw = model.inference([inp], do_postprocess=False)[0]
+    save(
+        "e2e_pointrend_r18",
+        image=img,
+        weight_names=np.array(names),
+        weight_shapes=np.array(shapes),
+        out_boxes=t2n(raw.pred_boxes.tensor),
+        out_scores=t2n(raw.scores),
+        out_classes=t2n(raw.pred_classes),
+        mask_probs10=t2n(raw.pred_masks[:10, 0]),
+    )

@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark: ViTDet ViT-L Cascade Mask R-CNN COCO inference on one chip.
+
+Prints ONE json line like bench.py. Baseline: the reference publishes
+0.142 s/im on an A100-class GPU with AMP for cascade_mask_rcnn_vitdet_l
+(projects/ViTDet/README.md COCO cascade table) = 7.04 img/s.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_vitdet_l.py
+"""
+
+import json
+import time
+
+import numpy as np
+
+VITDET_L_CASCADE_A100_IMG_S = 1.0 / 0.142  # 7.04 img/s (reference README)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from detectron2_tpu.config import LazyConfig, instantiate
+
+    cfg = LazyConfig.load("configs/ViTDet/cascade_mask_rcnn_vitdet_l_100ep.py")
+    model = instantiate(cfg.model)
+
+    B, H, W = 4, 1024, 1024
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(rng.randint(0, 255, (B, H, W, 3)).astype(np.uint8)),
+        "image_sizes": jnp.tile(jnp.asarray([[H, W]], jnp.int32), (B, 1)),
+    }
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        {"image": batch["image"][:1], "image_sizes": batch["image_sizes"][:1]},
+        train=False,
+    )
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(f"params: {n_params/1e6:.1f}M")
+
+    fwd = jax.jit(lambda p, b: model.apply(p, b, train=False))
+
+    @jax.jit
+    def _digest(o):
+        d = o["scores"].sum() + o["pred_boxes"].sum()
+        if "pred_masks_full" in o:
+            d = d + o["pred_masks_full"][:, :, ::37, ::53].sum(dtype=jnp.int32).astype(jnp.float32)
+        elif "pred_masks" in o:
+            d = d + o["pred_masks"].sum()
+        return d
+
+    def sync(o):
+        return float(np.asarray(_digest(o)))
+
+    t0 = time.perf_counter()
+    out = fwd(params, batch)
+    sync(out)
+    print(f"compile+first batch: {time.perf_counter()-t0:.1f}s")
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(params, batch)
+    sync(out)
+    dt = time.perf_counter() - t0
+
+    img_s = B * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "vitdet_l_cascade_maskrcnn_inference_img_per_s",
+                "value": round(img_s, 2),
+                "unit": "img/s",
+                "vs_baseline": round(img_s / VITDET_L_CASCADE_A100_IMG_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
