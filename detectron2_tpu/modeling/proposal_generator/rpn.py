@@ -141,6 +141,11 @@ class RPN(nn.Module):
             smooth_l1_beta=cfg.MODEL.RPN.SMOOTH_L1_BETA,
         )
 
+    def _select_in_features(self, train: bool) -> Tuple[str, ...]:
+        """Which feature keys to run on; overridable (TridentRPN restricts
+        inference to the single test branch)."""
+        return self.in_features
+
     def _transform(self):
         return Box2BoxTransform(weights=self.box2box_weights)
 
@@ -161,7 +166,7 @@ class RPN(nn.Module):
         Returns:
             (proposal_boxes [B,P,4], proposal_logits [B,P], proposal_valid [B,P]), losses
         """
-        feats = [features[f] for f in self.in_features]
+        feats = [features[f] for f in self._select_in_features(train)]
         grid_sizes = [(f.shape[1], f.shape[2]) for f in feats]
         anchors = self.anchor_generator(grid_sizes)  # list of [HWA, 4]
 

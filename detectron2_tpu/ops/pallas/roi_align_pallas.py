@@ -224,6 +224,32 @@ def roi_align_pallas_multilevel(
     dtype = feats[0].dtype
     R = boxes.shape[0]
 
+    # scoped-vmem budget: the window scratch is N_SLOTS*YH*XW*C; C4-width
+    # features (C=1024) blow the 16MB limit, so chunk channels and stack the
+    # calls (same total HBM traffic; scalar precompute is re-done per chunk
+    # but is negligible)
+    max_c = 512 if jnp.dtype(dtype).itemsize <= 2 else 256
+    if C > max_c:
+        outs = []
+        for cc in range(0, C, max_c):
+            sub = {n: features[n][..., cc : cc + max_c] for n in level_order}
+            outs.append(
+                roi_align_pallas_multilevel(
+                    sub,
+                    boxes,
+                    batch_indices,
+                    level_assignments,
+                    level_order,
+                    scales,
+                    output_size,
+                    sampling_ratio,
+                    aligned,
+                    x_window,
+                    y_window,
+                )
+            )
+        return jnp.concatenate(outs, axis=-1)
+
     planes, hs, ws, ws_true = [], [], [], []
     for f in feats:
         _, H, W, _ = f.shape
@@ -429,6 +455,32 @@ def roi_align_pallas_backward(
     feats = [features[n] for n in level_order]
     B, _, _, C = feats[0].shape
     R = boxes.shape[0]
+
+    # mirror the forward's channel chunking (scoped-vmem bound); each chunk
+    # accumulates its own channel slice of the gradient planes
+    max_c = 256  # bwd scratch is always f32
+    if C > max_c:
+        grads = []
+        for cc in range(0, C, max_c):
+            sub = {n: features[n][..., cc : cc + max_c] for n in level_order}
+            grads.append(
+                roi_align_pallas_backward(
+                    g[..., cc : cc + max_c],
+                    sub,
+                    boxes,
+                    batch_indices,
+                    level_assignments,
+                    level_order,
+                    scales,
+                    output_size,
+                    sampling_ratio,
+                    x_window,
+                    y_window,
+                )
+            )
+        return {
+            n: jnp.concatenate([gr[n] for gr in grads], axis=-1) for n in level_order
+        }
 
     hs, ws, ws_true, plane_shapes = [], [], [], []
     for f in feats:

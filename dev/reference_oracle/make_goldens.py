@@ -1394,3 +1394,77 @@ def golden_e2e_pointrend():
         out_classes=t2n(raw.pred_classes),
         mask_probs10=t2n(raw.pred_masks[:10, 0]),
     )
+
+
+def golden_e2e_tridentnet():
+    """TridentNet-Fast R50-C4 inference golden (reference projects/TridentNet):
+    pins the trident backbone's weight-shared multi-dilation res4 (fast test
+    path = single middle branch, dilation 2), TridentRPN's single-branch test
+    behavior, and the C4 Res5 box head through our converter."""
+    import sys
+
+    sys.path.insert(0, "/root/reference/projects/TridentNet")
+    from tridentnet import add_tridentnet_config  # noqa
+    from detectron2.config import get_cfg
+    from detectron2.modeling import build_model
+
+    cfg = get_cfg()
+    add_tridentnet_config(cfg)
+    cfg.MODEL.DEVICE = "cpu"
+    cfg.MODEL.META_ARCHITECTURE = "GeneralizedRCNN"
+    cfg.MODEL.BACKBONE.NAME = "build_trident_resnet_backbone"
+    cfg.MODEL.RESNETS.DEPTH = 50
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res4"]
+    cfg.MODEL.RESNETS.NORM = "BN"
+    cfg.MODEL.PROPOSAL_GENERATOR.NAME = "TridentRPN"
+    cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[32, 64, 128, 256, 512]]
+    cfg.MODEL.RPN.IN_FEATURES = ["res4"]
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 300
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 100
+    cfg.MODEL.ROI_HEADS.NAME = "TridentRes5ROIHeads"
+    cfg.MODEL.ROI_HEADS.IN_FEATURES = ["res4"]
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 7
+    cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST = 0.0
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 14
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO = 2
+    cfg.MODEL.TRIDENT.NUM_BRANCH = 3
+    cfg.MODEL.TRIDENT.BRANCH_DILATIONS = [1, 2, 3]
+    cfg.MODEL.TRIDENT.TEST_BRANCH_IDX = 1
+    cfg.MODEL.MASK_ON = False
+    cfg.TEST.DETECTIONS_PER_IMAGE = 30
+    model = build_model(cfg)
+    model.eval()
+
+    sd = model.state_dict()
+    names, shapes = [], []
+    new_sd = {}
+    for k, v in sd.items():
+        if k.endswith("num_batches_tracked") or "cell_anchors" in k or "pixel_" in k:
+            new_sd[k] = v
+            continue
+        arr = synth_weight_value(k, tuple(v.shape))
+        new_sd[k] = torch.from_numpy(arr)
+        names.append(k)
+        shapes.append(",".join(map(str, v.shape)))
+    model.load_state_dict(new_sd)
+
+    rng = np.random.RandomState(555)
+    img = _structured_image(rng, 320, 320)
+    inp = {"image": torch.from_numpy(img.transpose(2, 0, 1)).float(), "height": 320, "width": 320}
+    with torch.no_grad():
+        out = model([inp])[0]["instances"]
+        images = model.preprocess_image([inp])
+        feats = model.backbone(images.tensor)
+        proposals, _ = model.proposal_generator(images, feats, None)
+    save(
+        "e2e_tridentnet_r50",
+        image=img,
+        weight_names=np.array(names),
+        weight_shapes=np.array(shapes),
+        out_boxes=t2n(out.pred_boxes.tensor),
+        out_scores=t2n(out.scores),
+        out_classes=t2n(out.pred_classes),
+        prop_boxes=t2n(proposals[0].proposal_boxes.tensor),
+        prop_logits=t2n(proposals[0].objectness_logits),
+        feat_res4=t2n(feats["res4"]),
+    )

@@ -98,3 +98,33 @@ def test_extreme_aspect_ratio_boxes():
     denom = np.maximum(np.abs(ref[:4]).mean(axis=(1, 2, 3), keepdims=True), 1e-3)
     rel = np.abs(out[:4] - ref[:4]).mean(axis=(1, 2, 3), keepdims=True) / denom
     assert (rel < 0.15).all(), f"clamped-window error too large: {rel.ravel()}"
+
+
+def test_wide_channels_chunked():
+    """C4-width channels (C > 256) go through the channel-chunked path (the
+    un-chunked window scratch exceeds the 16MB scoped-vmem limit on TPU)."""
+    feats, boxes, bidx, lvl = _setup(R=16, C=320)
+    args = (feats, boxes, bidx, lvl, ("0", "1"), (0.25, 0.125), (7, 7))
+    ref = roi_align_multilevel(*args, sampling_ratio=2)
+    out = rap.roi_align_pallas_multilevel(*args, sampling_ratio=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_wide_channels_chunked_backward():
+    feats, boxes, bidx, lvl = _setup(R=16, C=320)
+    g = jnp.asarray(np.random.RandomState(3).rand(16, 7, 7, 320).astype(np.float32))
+    grads = rap.roi_align_pallas_backward(
+        g, feats, boxes, bidx, lvl, ("0", "1"), (0.25, 0.125), (7, 7), sampling_ratio=2
+    )
+    # adjoint identity vs the XLA forward's vjp
+    def fwd(fs):
+        return roi_align_multilevel(
+            fs, boxes, bidx, lvl, ("0", "1"), (0.25, 0.125), (7, 7), sampling_ratio=2
+        )
+
+    _, vjp = jax.vjp(fwd, feats)
+    (ref_grads,) = vjp(g)
+    for k in feats:
+        np.testing.assert_allclose(
+            np.asarray(grads[k]), np.asarray(ref_grads[k]), rtol=1e-3, atol=1e-3
+        )
