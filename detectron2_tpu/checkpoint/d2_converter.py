@@ -155,9 +155,10 @@ def flax_path_to_d2_name(path: Tuple[str, ...]) -> str:
             prev = seg
             continue
         m = re.fullmatch(r"(p\d+)_conv(\d+)", seg)
-        if m and prev == "sem_seg_head":
-            # SemSegFPNHead scale heads: d2 builds Sequential(conv, up, conv,
-            # up, ...) per feature — conv k sits at index 2*k
+        if m and prev in ("sem_seg_head", "decoder"):
+            # SemSegFPNHead scale heads (and the DensePose Decoder, same
+            # structure): d2 builds Sequential(conv, up, conv, up, ...) per
+            # feature — conv k sits at index 2*k
             segs.extend([m.group(1), str(2 * int(m.group(2)))])
             prev = seg
             continue

@@ -3,10 +3,11 @@ correspondence — per-pixel body-part index I and per-part (U, V) chart
 coordinates, or a continuous surface embedding (CSE), predicted per person.
 
 Components:
-- chart baseline: DensePoseChartHead + point-supervised IUV losses
-  (DensePose GT IS a sparse point set, ~100 points/person, so the TPU
-  formulation samples predicted maps at the annotated points — no dense
-  rasterization);
+- chart baseline: DensePoseV1ConvXHead tower + DensePoseChartPredictor
+  (*_lowres deconvs + bilinear interp2d) + the FPN Decoder, with
+  point-supervised IUV losses (DensePose GT IS a sparse point set, ~100
+  points/person, so the TPU formulation samples predicted maps at the
+  annotated points — no dense rasterization);
 - UV confidences: iid-isotropic / independent-anisotropic NLL losses with
   sigma/kappa prediction channels (confidences.py);
 - CSE: per-mesh vertex embedders + softmax embedding loss + per-pixel
@@ -34,8 +35,10 @@ from detectron2_tpu.projects.densepose.confidences import (
     indep_anisotropic_gaussian_uv_loss,
 )
 from detectron2_tpu.projects.densepose.densepose_head import (
-    DensePoseChartHead,
-    DensePoseCSEHead,
+    DensePoseChartPredictor,
+    DensePoseDecoder,
+    DensePoseEmbeddingPredictor,
+    DensePoseV1ConvXHead,
 )
 from detectron2_tpu.projects.densepose.evaluation import (
     DensePoseCOCOEvaluator,
@@ -46,8 +49,10 @@ from detectron2_tpu.projects.densepose.roi_heads import DensePoseROIHeads
 
 __all__ = [
     "add_densepose_config",
-    "DensePoseChartHead",
-    "DensePoseCSEHead",
+    "DensePoseV1ConvXHead",
+    "DensePoseChartPredictor",
+    "DensePoseEmbeddingPredictor",
+    "DensePoseDecoder",
     "DensePoseROIHeads",
     "Embedder",
     "VertexDirectEmbedder",

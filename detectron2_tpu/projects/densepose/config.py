@@ -1,30 +1,41 @@
-"""DensePose config keys (reference projects/DensePose/densepose/config.py —
-the chart-head subset)."""
+"""DensePose config keys (reference projects/DensePose/densepose/config.py
+add_densepose_head_config / add_densepose_head_cse_config — the modeling
+subset; bootstrap/data-sampler keys are data-pipeline-only and omitted)."""
 
 from detectron2_tpu.config.cfg_node import CfgNode as CN
 
 
 def add_densepose_config(cfg):
-    """Add config for the DensePose chart baseline."""
+    """Add config for the DensePose head (chart + CSE)."""
     cfg.MODEL.ROI_HEADS.NAME = "DensePoseROIHeads"
     cfg.MODEL.DENSEPOSE_ON = True
 
     cfg.MODEL.ROI_DENSEPOSE_HEAD = CN()
-    cfg.MODEL.ROI_DENSEPOSE_HEAD.NAME = "DensePoseChartHead"
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.NAME = "DensePoseV1ConvXHead"
     cfg.MODEL.ROI_DENSEPOSE_HEAD.NUM_STACKED_CONVS = 8
     cfg.MODEL.ROI_DENSEPOSE_HEAD.CONV_HEAD_DIM = 512
     cfg.MODEL.ROI_DENSEPOSE_HEAD.CONV_HEAD_KERNEL = 3
     # 24 body parts + background for the index head
     cfg.MODEL.ROI_DENSEPOSE_HEAD.NUM_PATCHES = 24
-    # 14 coarse segmentation channels (the AnnIndex head)
+    # predictor deconv kernel + post-deconv bilinear upscale factor
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.DECONV_KERNEL = 4
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.UP_SCALE = 2
+    # 2 (fg/bg) or 15 (14 body parts + background) coarse channels
     cfg.MODEL.ROI_DENSEPOSE_HEAD.NUM_COARSE_SEGM_CHANNELS = 2
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.POOLER_TYPE = "ROIAlignV2"
     cfg.MODEL.ROI_DENSEPOSE_HEAD.POOLER_RESOLUTION = 28
     cfg.MODEL.ROI_DENSEPOSE_HEAD.POOLER_SAMPLING_RATIO = 2
     cfg.MODEL.ROI_DENSEPOSE_HEAD.HEATMAP_SIZE = 112
     cfg.MODEL.ROI_DENSEPOSE_HEAD.INDEX_WEIGHTS = 5.0
     cfg.MODEL.ROI_DENSEPOSE_HEAD.PART_WEIGHTS = 1.0
     cfg.MODEL.ROI_DENSEPOSE_HEAD.POINT_REGRESSION_WEIGHTS = 0.01
-    cfg.MODEL.ROI_DENSEPOSE_HEAD.DECODER_ON = False
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.PREDICTOR_NAME = "DensePoseChartWithConfidencePredictor"
+    # FPN decoder ahead of the densepose pooler (ON in the zoo configs)
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.DECODER_ON = True
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.DECODER_NUM_CLASSES = 256
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.DECODER_CONV_DIMS = 256
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.DECODER_NORM = ""
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.DECODER_COMMON_STRIDE = 4
 
     # UV confidence modeling (reference config.py add_densepose_head_config:
     # UV_CONFIDENCE; Neverova et al. NeurIPS 2019)

@@ -1,42 +1,96 @@
-"""DensePose chart head
-(reference projects/DensePose/densepose/modeling/predictors/chart.py +
-v1convx head).
+"""DensePose heads, predictors and the FPN decoder.
 
-8 stacked 3x3 convs on pooled person features, then four 1x1 predictors on a
-2x-deconvolved map: coarse segmentation (fg/bg), part index I (25 = 24 parts +
-bg), and per-part U, V chart coordinates.
+Reference structure (projects/DensePose/densepose/modeling/):
+- ``DensePoseV1ConvXHead`` (roi_heads/v1convx.py): N stacked 3x3 convs named
+  ``body_conv_fcn{i}``; NO upsampling — the head output stays at the pooled
+  resolution.
+- predictors (predictors/chart.py, chart_confidence.py, cse.py): four
+  independent 4x4-stride-2 ``ConvTranspose2d`` layers named ``*_lowres``
+  (no activation), each followed by a bilinear x``UP_SCALE`` upscale
+  (``interp2d``, align_corners=False). The confidence mixin adds
+  ``sigma_2_lowres`` (+ ``kappa_u/v_lowres`` for the anisotropic model).
+- ``Decoder`` (roi_heads/roi_head.py:28-89): a SemSegFPNHead-style scale-head
+  tower over the FPN levels summed at the common stride, then a 1x1
+  predictor producing the 256-channel map the densepose pooler pools from.
 """
 
-from typing import Tuple
+from typing import Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from detectron2_tpu.layers.batch_norm import get_norm
 from detectron2_tpu.layers.wrappers import Conv2d, ConvTranspose2d
 from detectron2_tpu.utils.registry import Registry
 
 ROI_DENSEPOSE_HEAD_REGISTRY = Registry("ROI_DENSEPOSE_HEAD")
+DENSEPOSE_PREDICTOR_REGISTRY = Registry("DENSEPOSE_PREDICTOR")
 
 __all__ = [
     "ROI_DENSEPOSE_HEAD_REGISTRY",
-    "DensePoseChartHead",
-    "DensePoseCSEHead",
+    "DENSEPOSE_PREDICTOR_REGISTRY",
+    "DensePoseV1ConvXHead",
+    "DensePoseChartPredictor",
+    "DensePoseEmbeddingPredictor",
+    "DensePoseDecoder",
     "build_densepose_head",
+    "build_densepose_predictor",
 ]
 
 
 @ROI_DENSEPOSE_HEAD_REGISTRY.register()
-class DensePoseChartHead(nn.Module):
-    """The V1ConvX tower + chart (IUV) predictors; with ``uv_confidence`` set
-    it also emits per-pixel sigma (and kappa for the anisotropic model)
-    channels (reference densepose_head.py DensePoseV1ConvXHead +
-    DensePoseChartConfidencePredictorMixin)."""
+class DensePoseV1ConvXHead(nn.Module):
+    """The fully-convolutional tower (reference v1convx.py): NUM_STACKED_CONVS
+    3x3 convs at CONV_HEAD_DIM channels with relu, torch names
+    ``body_conv_fcn{i+1}``."""
 
-    num_patches: int = 24
-    num_coarse_segm_channels: int = 2
     conv_dims: int = 512
     num_convs: int = 8
     kernel: int = 3
+
+    @classmethod
+    def from_config(cls, cfg, input_shape=None):
+        h = cfg.MODEL.ROI_DENSEPOSE_HEAD
+        return cls(
+            conv_dims=h.CONV_HEAD_DIM,
+            num_convs=h.NUM_STACKED_CONVS,
+            kernel=h.CONV_HEAD_KERNEL,
+        )
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        """x: [R, h, w, C] -> [R, h, w, conv_dims]."""
+        for i in range(self.num_convs):
+            x = Conv2d(
+                features=self.conv_dims,
+                kernel_size=self.kernel,
+                padding=self.kernel // 2,
+                activation=nn.relu,
+                name=f"body_conv_fcn{i + 1}",
+            )(x, train=train)
+        return x
+
+
+def _interp2d(x: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """Bilinear x``scale`` upsample, torch interpolate(align_corners=False)
+    semantics (reference chart.py:68-81 interp2d)."""
+    R, H, W, C = x.shape
+    return jax.image.resize(x, (R, H * scale, W * scale, C), method="bilinear")
+
+
+@DENSEPOSE_PREDICTOR_REGISTRY.register()
+class DensePoseChartPredictor(nn.Module):
+    """Chart (IUV) predictor (reference predictors/chart.py): four independent
+    stride-2 deconvs from the head output, each bilinearly upscaled by
+    UP_SCALE. With ``uv_confidence`` set, the confidence mixin's extra
+    ``sigma_2``(+``kappa_u/v``) deconvs are added
+    (reference predictors/chart_confidence.py:49-121)."""
+
+    num_patches: int = 24
+    num_coarse_segm_channels: int = 2
+    deconv_kernel: int = 4
+    up_scale: int = 2
     uv_confidence: str = "none"  # none | iid_iso | indep_aniso
 
     @classmethod
@@ -46,61 +100,49 @@ class DensePoseChartHead(nn.Module):
         return cls(
             num_patches=h.NUM_PATCHES,
             num_coarse_segm_channels=h.NUM_COARSE_SEGM_CHANNELS,
-            conv_dims=h.CONV_HEAD_DIM,
-            num_convs=h.NUM_STACKED_CONVS,
-            kernel=h.CONV_HEAD_KERNEL,
+            deconv_kernel=h.DECONV_KERNEL,
+            up_scale=h.UP_SCALE,
             uv_confidence=conf.TYPE if conf.ENABLED else "none",
         )
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        """x: [R, h, w, C] -> dict of [R, 2h, 2w, *] IUV maps."""
-        for i in range(self.num_convs):
-            x = Conv2d(
-                features=self.conv_dims,
-                kernel_size=self.kernel,
-                padding=self.kernel // 2,
-                activation=nn.relu,
-                name=f"body_conv_fcn{i + 1}",
+    def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
+        """x: [R, h, w, C] head outputs -> dict of [R, h*2*up, w*2*up, *]."""
+
+        def lowres(name, channels):
+            # torch ConvTranspose2d(k, stride=2, padding=k/2-1): our wrapper's
+            # "SAME" padding matches (verified bit-exact vs torch for k=4/s=2)
+            return ConvTranspose2d(
+                features=channels,
+                kernel_size=self.deconv_kernel,
+                strides=2,
+                name=name,
             )(x, train=train)
-        x = ConvTranspose2d(
-            features=self.conv_dims, kernel_size=2, strides=2,
-            activation=nn.relu, name="deconv",
-        )(x, train=train)
+
         K = self.num_patches + 1
         out = {
-            "coarse_segm": Conv2d(
-                features=self.num_coarse_segm_channels, kernel_size=1, name="ann_index_lowres"
-            )(x, train=train),
-            "fine_segm": Conv2d(features=K, kernel_size=1, name="index_uv_lowres")(x, train=train),
-            "u": Conv2d(features=K, kernel_size=1, name="u_lowres")(x, train=train),
-            "v": Conv2d(features=K, kernel_size=1, name="v_lowres")(x, train=train),
+            "coarse_segm": _interp2d(lowres("ann_index_lowres", self.num_coarse_segm_channels), self.up_scale),
+            "fine_segm": _interp2d(lowres("index_uv_lowres", K), self.up_scale),
+            "u": _interp2d(lowres("u_lowres", K), self.up_scale),
+            "v": _interp2d(lowres("v_lowres", K), self.up_scale),
         }
         if self.uv_confidence != "none":
-            out["sigma_2"] = Conv2d(features=K, kernel_size=1, name="sigma_2_lowres")(
-                x, train=train
-            )
+            out["sigma_2"] = _interp2d(lowres("sigma_2_lowres", K), self.up_scale)
             if self.uv_confidence == "indep_aniso":
-                out["kappa_u"] = Conv2d(features=K, kernel_size=1, name="kappa_u_lowres")(
-                    x, train=train
-                )
-                out["kappa_v"] = Conv2d(features=K, kernel_size=1, name="kappa_v_lowres")(
-                    x, train=train
-                )
+                out["kappa_u"] = _interp2d(lowres("kappa_u_lowres", K), self.up_scale)
+                out["kappa_v"] = _interp2d(lowres("kappa_v_lowres", K), self.up_scale)
         return {k: v.astype(jnp.float32) for k, v in out.items()}
 
 
-@ROI_DENSEPOSE_HEAD_REGISTRY.register()
-class DensePoseCSEHead(nn.Module):
-    """The V1ConvX tower + CSE predictors: a D-dim embedding per pixel and a
-    2-channel coarse segmentation (reference modeling/predictors/cse.py
-    DensePoseEmbeddingPredictor)."""
+@DENSEPOSE_PREDICTOR_REGISTRY.register()
+class DensePoseEmbeddingPredictor(nn.Module):
+    """CSE predictor (reference predictors/cse.py): per-pixel D-dim embedding
+    + 2-channel coarse segmentation, same deconv+interp structure."""
 
     embed_dim: int = 16
     num_coarse_segm_channels: int = 2
-    conv_dims: int = 512
-    num_convs: int = 8
-    kernel: int = 3
+    deconv_kernel: int = 4
+    up_scale: int = 2
 
     @classmethod
     def from_config(cls, cfg, input_shape=None):
@@ -108,38 +150,102 @@ class DensePoseCSEHead(nn.Module):
         return cls(
             embed_dim=h.CSE.EMBED_SIZE,
             num_coarse_segm_channels=h.NUM_COARSE_SEGM_CHANNELS,
-            conv_dims=h.CONV_HEAD_DIM,
-            num_convs=h.NUM_STACKED_CONVS,
-            kernel=h.CONV_HEAD_KERNEL,
+            deconv_kernel=h.DECONV_KERNEL,
+            up_scale=h.UP_SCALE,
         )
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        """x: [R, h, w, C] -> {"coarse_segm": [R, 2h, 2w, 2],
-        "embedding": [R, 2h, 2w, D]}."""
-        for i in range(self.num_convs):
-            x = Conv2d(
-                features=self.conv_dims,
-                kernel_size=self.kernel,
-                padding=self.kernel // 2,
-                activation=nn.relu,
-                name=f"body_conv_fcn{i + 1}",
+    def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
+        def lowres(name, channels):
+            return ConvTranspose2d(
+                features=channels,
+                kernel_size=self.deconv_kernel,
+                strides=2,
+                name=name,
             )(x, train=train)
-        x = ConvTranspose2d(
-            features=self.conv_dims, kernel_size=2, strides=2,
-            activation=nn.relu, name="deconv",
-        )(x, train=train)
+
         out = {
-            "coarse_segm": Conv2d(
-                features=self.num_coarse_segm_channels, kernel_size=1, name="coarse_segm_lowres"
-            )(x, train=train),
-            "embedding": Conv2d(features=self.embed_dim, kernel_size=1, name="embed_lowres")(
-                x, train=train
+            "coarse_segm": _interp2d(
+                lowres("coarse_segm_lowres", self.num_coarse_segm_channels), self.up_scale
             ),
+            "embedding": _interp2d(lowres("embed_lowres", self.embed_dim), self.up_scale),
         }
         return {k: v.astype(jnp.float32) for k, v in out.items()}
+
+
+# The reference's "WithConfidence" predictors are the base predictors plus the
+# confidence mixin, whose extra layers only exist when the confidence cfg is
+# enabled (chart_confidence.py:49) — config-driven channels make the classes
+# identical here, so the names alias.
+DENSEPOSE_PREDICTOR_REGISTRY._do_register(
+    "DensePoseChartWithConfidencePredictor", DensePoseChartPredictor
+)
+DENSEPOSE_PREDICTOR_REGISTRY._do_register(
+    "DensePoseEmbeddingWithConfidencePredictor", DensePoseEmbeddingPredictor
+)
+
+
+class DensePoseDecoder(nn.Module):
+    """FPN decoder ahead of the densepose pooler (reference
+    roi_heads/roi_head.py:28-89 Decoder): per-level scale heads (3x3 conv +
+    x2 upsample until the common stride) summed, then a 1x1 predictor.
+    Scale-head convs are flax-named ``{f}_conv{k}`` mapping to the d2
+    Sequential indices ``decoder.{f}.{2k}``."""
+
+    in_features: Tuple[str, ...] = ("p2", "p3", "p4", "p5")
+    feature_strides: Tuple[int, ...] = (4, 8, 16, 32)
+    conv_dims: int = 256
+    num_classes: int = 256
+    common_stride: int = 4
+    norm: str = ""
+
+    @classmethod
+    def from_config(cls, cfg, input_shape, in_features):
+        h = cfg.MODEL.ROI_DENSEPOSE_HEAD
+        return cls(
+            in_features=tuple(in_features),
+            feature_strides=tuple(input_shape[f].stride for f in in_features),
+            conv_dims=h.DECODER_CONV_DIMS,
+            num_classes=h.DECODER_NUM_CLASSES,
+            common_stride=h.DECODER_COMMON_STRIDE,
+            norm=h.DECODER_NORM,
+        )
+
+    @nn.compact
+    def __call__(self, features, train: bool = False) -> jnp.ndarray:
+        """features: list of [B, Hi, Wi, Ci] aligned with in_features ->
+        [B, H/cs, W/cs, num_classes]."""
+        import math
+
+        out = None
+        for i, (f, stride) in enumerate(zip(self.in_features, self.feature_strides)):
+            x = features[i]
+            head_length = max(1, int(math.log2(stride) - math.log2(self.common_stride)))
+            for k in range(head_length):
+                x = Conv2d(
+                    features=self.conv_dims,
+                    kernel_size=3,
+                    padding=1,
+                    use_bias=not self.norm,
+                    norm=get_norm(self.norm, self.conv_dims),
+                    activation=nn.relu,
+                    name=f"{f}_conv{k}",
+                )(x, train=train)
+                if stride != self.common_stride:
+                    B, H, W, C = x.shape
+                    x = jax.image.resize(x, (B, H * 2, W * 2, C), method="bilinear")
+                    stride //= 2
+            out = x if out is None else out + x
+        return Conv2d(features=self.num_classes, kernel_size=1, name="predictor")(
+            out, train=train
+        )
 
 
 def build_densepose_head(cfg, input_shape=None):
     name = cfg.MODEL.ROI_DENSEPOSE_HEAD.NAME
     return ROI_DENSEPOSE_HEAD_REGISTRY.get(name).from_config(cfg, input_shape)
+
+
+def build_densepose_predictor(cfg, input_shape=None):
+    name = cfg.MODEL.ROI_DENSEPOSE_HEAD.PREDICTOR_NAME
+    return DENSEPOSE_PREDICTOR_REGISTRY.get(name).from_config(cfg, input_shape)

@@ -22,7 +22,12 @@ from detectron2_tpu.modeling.roi_heads.roi_heads import (
     StandardROIHeads,
     select_foreground_slots,
 )
-from detectron2_tpu.projects.densepose.densepose_head import build_densepose_head
+from detectron2_tpu.modeling.poolers import ROIPooler
+from detectron2_tpu.projects.densepose.densepose_head import (
+    DensePoseDecoder,
+    build_densepose_head,
+    build_densepose_predictor,
+)
 from detectron2_tpu.projects.point_rend.point_features import point_sample
 from detectron2_tpu.projects.point_sup.point_utils import (
     get_point_coords_from_point_annotation,
@@ -36,7 +41,10 @@ class DensePoseROIHeads(StandardROIHeads):
     """StandardROIHeads + the DensePose IUV branch."""
 
     densepose_head: Optional[nn.Module] = None
+    densepose_predictor: Optional[nn.Module] = None
+    decoder: Optional[nn.Module] = None
     densepose_pooler_resolution: int = 28
+    densepose_pooler_sampling_ratio: int = 2
     index_weight: float = 5.0
     part_weight: float = 1.0
     point_regression_weight: float = 0.01
@@ -45,6 +53,8 @@ class DensePoseROIHeads(StandardROIHeads):
     cse_mesh_name: str = "smpl_27554"
     embdist_gauss_sigma: float = 0.01
     embed_loss_weight: float = 0.6
+    # parity/debug escape hatch: attach the raw predictor maps at inference
+    raw_outputs: bool = False
 
     @classmethod
     def from_config(cls, cfg, input_shape):
@@ -52,7 +62,7 @@ class DensePoseROIHeads(StandardROIHeads):
         h = cfg.MODEL.ROI_DENSEPOSE_HEAD
         cse_embedder = None
         mesh_name = "smpl_27554"
-        if cfg.MODEL.DENSEPOSE_ON and h.NAME == "DensePoseCSEHead":
+        if cfg.MODEL.DENSEPOSE_ON and "Embedding" in h.PREDICTOR_NAME:
             from detectron2_tpu.projects.densepose.cse import Embedder
 
             specs = tuple(
@@ -61,9 +71,19 @@ class DensePoseROIHeads(StandardROIHeads):
             cse_embedder = Embedder(mesh_specs=specs)
             mesh_name = specs[0][0]
         conf = h.UV_CONFIDENCE
+        decoder = None
+        if cfg.MODEL.DENSEPOSE_ON and h.DECODER_ON:
+            decoder = DensePoseDecoder.from_config(
+                cfg, input_shape, cfg.MODEL.ROI_HEADS.IN_FEATURES
+            )
         return base.clone(
             densepose_head=build_densepose_head(cfg) if cfg.MODEL.DENSEPOSE_ON else None,
+            densepose_predictor=(
+                build_densepose_predictor(cfg) if cfg.MODEL.DENSEPOSE_ON else None
+            ),
+            decoder=decoder,
             densepose_pooler_resolution=h.POOLER_RESOLUTION,
+            densepose_pooler_sampling_ratio=h.POOLER_SAMPLING_RATIO,
             index_weight=h.INDEX_WEIGHTS,
             part_weight=h.PART_WEIGHTS,
             point_regression_weight=h.POINT_REGRESSION_WEIGHTS,
@@ -94,6 +114,24 @@ class DensePoseROIHeads(StandardROIHeads):
             detections = self._forward_densepose_inference(feats, detections)
         return detections
 
+    def _densepose_pool(self, feats, boxes_flat, batch_idx, train):
+        """Pool densepose features: with the decoder, pool from its single
+        stride-4 output map (reference roi_head.py:112-118, 160-164);
+        otherwise from the raw FPN levels. Uses the densepose pooler's own
+        sampling ratio."""
+        if self.decoder is not None:
+            feats = [self.decoder(feats, train=train)]
+            scales = (self.pooler_scales[0],)
+        else:
+            scales = self.pooler_scales
+        pooler = ROIPooler(
+            output_size=self.densepose_pooler_resolution,
+            scales=scales,
+            sampling_ratio=self.densepose_pooler_sampling_ratio,
+            pooler_type=self.pooler_type,
+        )
+        return pooler(feats, boxes_flat, batch_idx)
+
     def _forward_densepose_train(self, feats, sampled, targets):
         B, S = sampled["gt_classes"].shape
         Rf = self.fg_budget
@@ -105,8 +143,8 @@ class DensePoseROIHeads(StandardROIHeads):
         batch_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), Rf)
         valid_flat = fg_valid.reshape(-1).astype(jnp.float32)
 
-        pooled = self._pooler(self.densepose_pooler_resolution)(feats, boxes_flat, batch_idx)
-        out = self.densepose_head(pooled, train=True)
+        pooled = self._densepose_pool(feats, boxes_flat, batch_idx, train=True)
+        out = self.densepose_predictor(self.densepose_head(pooled, train=True), train=True)
 
         if self.cse_embedder is not None:
             return self._cse_losses(out, boxes_flat, fg_gt_idx, valid_flat, targets, B, Rf)
@@ -221,8 +259,8 @@ class DensePoseROIHeads(StandardROIHeads):
         B, D = detections["pred_classes"].shape
         boxes_flat = detections["pred_boxes"].reshape(-1, 4)
         batch_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), D)
-        pooled = self._pooler(self.densepose_pooler_resolution)(feats, boxes_flat, batch_idx)
-        out = self.densepose_head(pooled, train=False)
+        pooled = self._densepose_pool(feats, boxes_flat, batch_idx, train=False)
+        out = self.densepose_predictor(self.densepose_head(pooled, train=False), train=False)
 
         if self.cse_embedder is not None:
             # CSE result format: per-pixel embedding + fg mask; closest-vertex
@@ -236,6 +274,12 @@ class DensePoseROIHeads(StandardROIHeads):
             )
             detections["pred_densepose_fg"] = fg.reshape(B, D, M, M)
             return detections
+
+        if self.raw_outputs:
+            B_, D_, M_ = B, D, out["fine_segm"].shape[1]
+            detections["pred_densepose_raw"] = {
+                k: v.reshape((B_, D_) + v.shape[1:]) for k, v in out.items()
+            }
 
         M = out["fine_segm"].shape[1]
         # per-pixel part label + its U/V (the chart result format)

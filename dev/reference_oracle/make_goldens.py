@@ -1468,3 +1468,70 @@ def golden_e2e_tridentnet():
         prop_logits=t2n(proposals[0].objectness_logits),
         feat_res4=t2n(feats["res4"]),
     )
+
+
+def golden_e2e_densepose():
+    """DensePose chart e2e golden (reference projects/DensePose): pins the
+    FPN Decoder (scale heads + 1x1 predictor), the V1ConvX tower
+    (body_conv_fcn*), and the chart predictor's four *_lowres deconvs +
+    bilinear interp2d through our converter. Saves detections plus the raw
+    DensePoseChartPredictorOutput maps for the kept detections."""
+    import sys
+
+    sys.path.insert(0, "/root/reference/projects/DensePose")
+    from densepose import add_densepose_config  # noqa
+    from detectron2.modeling import build_model
+
+    cfg = _e2e_cfg_ref()
+    add_densepose_config(cfg)
+    cfg.MODEL.MASK_ON = False
+    cfg.MODEL.ROI_HEADS.NAME = "DensePoseROIHeads"
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 1
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.NAME = "DensePoseV1ConvXHead"
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.NUM_STACKED_CONVS = 2
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.CONV_HEAD_DIM = 64
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.POOLER_RESOLUTION = 14
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.POOLER_SAMPLING_RATIO = 2
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.DECODER_CONV_DIMS = 64
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.DECODER_NUM_CLASSES = 64
+    cfg.TEST.DETECTIONS_PER_IMAGE = 20
+
+    model = build_model(cfg)
+    model.eval()
+
+    sd = model.state_dict()
+    names, shapes = [], []
+    new_sd = {}
+    for k, v in sd.items():
+        if k.endswith("num_batches_tracked") or "cell_anchors" in k or "pixel_" in k:
+            new_sd[k] = v
+            continue
+        arr = synth_weight_value(k, tuple(v.shape))
+        new_sd[k] = torch.from_numpy(arr)
+        names.append(k)
+        shapes.append(",".join(map(str, v.shape)))
+    model.load_state_dict(new_sd)
+
+    rng = np.random.RandomState(777)
+    img = _structured_image(rng, 320, 320)
+    inp = {"image": torch.from_numpy(img.transpose(2, 0, 1)).float(), "height": 320, "width": 320}
+    with torch.no_grad():
+        raw = model.inference([inp], do_postprocess=False)[0]
+        images = model.preprocess_image([inp])
+        feats = model.backbone(images.tensor)
+        dec = model.roi_heads.decoder([feats[f] for f in model.roi_heads.in_features])
+    dp = raw.pred_densepose
+    save(
+        "e2e_densepose_r18",
+        image=img,
+        weight_names=np.array(names),
+        weight_shapes=np.array(shapes),
+        out_boxes=t2n(raw.pred_boxes.tensor),
+        out_scores=t2n(raw.scores),
+        out_classes=t2n(raw.pred_classes),
+        dp_coarse_segm=t2n(dp.coarse_segm),
+        dp_fine_segm=t2n(dp.fine_segm),
+        dp_u=t2n(dp.u),
+        dp_v=t2n(dp.v),
+        decoder_map=t2n(dec),
+    )

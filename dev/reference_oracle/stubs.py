@@ -34,7 +34,7 @@ class CfgNode(dict):
 
     IMMUTABLE = "__immutable__"
 
-    def __init__(self, init_dict=None):
+    def __init__(self, init_dict=None, new_allowed=False):
         init_dict = {} if init_dict is None else init_dict
         super().__init__(init_dict)
         self.__dict__[CfgNode.IMMUTABLE] = False
@@ -586,5 +586,23 @@ def install():
     timm_layers.Mlp = Mlp
     timm_layers.trunc_normal_ = lambda t, std=1.0: nn.init.trunc_normal_(t, std=std)
     timm_layers.to_2tuple = lambda x: x if isinstance(x, tuple) else (x, x)
+
+    # pycocotools.coco / .cocoeval: imported (not exercised) by evaluator
+    # modules pulled in through package __init__ chains (e.g. densepose)
+    pct_coco = mod("pycocotools.coco")
+    pct_coco.COCO = object
+    pct.coco = pct_coco
+    pct_ce = mod("pycocotools.cocoeval")
+    pct_ce.COCOeval = object
+    pct_ce.maskUtils = pct_mask
+    pct.cocoeval = pct_ce
+
+    # av (PyAV): densepose's video data pipeline imports it at package-import
+    # time for type aliases only
+    av = mod("av")
+    av.frame = types.SimpleNamespace(Frame=object)
+    av.container = types.SimpleNamespace(Container=object)
+    av.video = types.SimpleNamespace(frame=types.SimpleNamespace(VideoFrame=object))
+    av.open = lambda *a, **k: (_ for _ in ()).throw(NotImplementedError("av shim"))
 
     # cv2/psutil/pydoc are real; nothing else needed.

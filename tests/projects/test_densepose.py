@@ -33,6 +33,8 @@ def _cfg():
     cfg.MODEL.ROI_DENSEPOSE_HEAD.NUM_STACKED_CONVS = 2
     cfg.MODEL.ROI_DENSEPOSE_HEAD.CONV_HEAD_DIM = 32
     cfg.MODEL.ROI_DENSEPOSE_HEAD.POOLER_RESOLUTION = 14
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.DECODER_CONV_DIMS = 32
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.DECODER_NUM_CLASSES = 32
     cfg.TEST.DETECTIONS_PER_IMAGE = 8
     cfg.TPU.COMPUTE_DTYPE = "float32"
     return cfg
@@ -72,7 +74,8 @@ def test_densepose_rcnn_train_and_infer():
     det = model.apply(
         variables, {"image": batch["image"], "image_sizes": batch["image_sizes"]}, train=False
     )
-    assert det["pred_densepose"].shape == (1, 8, 28, 28, 3)
+    # pooled 14 -> deconv 28 -> bilinear UP_SCALE 56 (reference chart predictor)
+    assert det["pred_densepose"].shape == (1, 8, 56, 56, 3)
     dp = np.asarray(det["pred_densepose"])
     assert np.isfinite(dp).all()
     assert (dp[..., 1:] >= 0).all() and (dp[..., 1:] <= 1).all()
@@ -155,7 +158,7 @@ def test_densepose_cse_train_and_infer():
     """CSE head end-to-end: embedding loss + coarse segm at train, per-pixel
     embeddings at inference."""
     cfg = _cfg()
-    cfg.MODEL.ROI_DENSEPOSE_HEAD.NAME = "DensePoseCSEHead"
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.PREDICTOR_NAME = "DensePoseEmbeddingPredictor"
     cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE.EMBED_SIZE = 8
     cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE.EMBEDDERS = [["testmesh", 64]]
     model = build_model(cfg)
