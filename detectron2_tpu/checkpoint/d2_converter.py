@@ -176,6 +176,12 @@ def flax_path_to_d2_name(path: Tuple[str, ...]) -> str:
             segs.extend(["decoder", m.group(1), "fuse_conv", m.group(2)])
             prev = seg
             continue
+        m = re.fullmatch(r"(head|center_head|offset_head)(\d)", seg)
+        if m and prev in ("sem_seg_head", "ins_embed_head"):
+            # Panoptic-DeepLab head towers: d2 builds nn.Sequential(conv, conv)
+            segs.extend([m.group(1), m.group(2)])
+            prev = seg
+            continue
         if prev == "aspp":
             # d2 ASPP internals (layers/aspp.py:60-110): convs.0 = 1x1,
             # convs.{1+i} = atrous i, convs.{1+N} = image pooling Sequential

@@ -40,18 +40,41 @@ class PanopticDeepLabSemSegHead(DeepLabV3PlusHead):
         base = DeepLabV3PlusHead.from_config.__func__(cls, cfg, input_shape)
         return base.clone(head_channels=cfg.MODEL.SEM_SEG_HEAD.HEAD_CHANNELS)
 
+    def _head_tower(self, y, name, train):
+        """The reference's extra transform before each predictor
+        (panoptic_seg.py:270-306): TWO stacked 3x3 convs (decoder_dim ->
+        decoder_dim -> head_channels), or a single 5x5 depthwise-separable
+        conv with the same receptive field when USE_DEPTHWISE_SEPARABLE_CONV."""
+        from detectron2_tpu.layers.blocks import DepthwiseSeparableConv2d
+
+        if self.use_depthwise_separable_conv:
+            return DepthwiseSeparableConv2d(
+                in_channels=y.shape[-1],
+                out_channels=self.head_channels,
+                kernel_size=5,
+                padding=2,
+                norm1=self.norm,
+                activation1=nn.relu,
+                norm2=self.norm,
+                activation2=nn.relu,
+                name=name,
+            )(y, train=train)
+        for k, ch in enumerate((y.shape[-1], self.head_channels)):
+            y = Conv2d(
+                features=ch,
+                kernel_size=3,
+                padding=1,
+                use_bias=not self.norm,
+                norm=get_norm(self.norm, ch),
+                activation=nn.relu,
+                name=f"{name}{k}",
+            )(y, train=train)
+        return y
+
     @nn.compact
     def __call__(self, features, targets=None, weights=None, train: bool = False):
         y = self._decoder(features, train=train)
-        y = Conv2d(
-            features=self.head_channels,
-            kernel_size=3,
-            padding=1,
-            use_bias=not self.norm,
-            norm=get_norm(self.norm, self.head_channels),
-            activation=nn.relu,
-            name="head_conv",
-        )(y, train=train)
+        y = self._head_tower(y, "head", train)
         logits = Conv2d(features=self.num_classes, kernel_size=1, name="predictor")(y, train=train)
         out_stride = self.feature_strides[0]
         logits = _resize(
@@ -122,6 +145,8 @@ class PanopticDeepLabInsEmbedHead(DeepLabV3PlusHead):
             head_channels=h.HEAD_CHANNELS,
             center_loss_weight=h.CENTER_LOSS_WEIGHT,
             offset_loss_weight=h.OFFSET_LOSS_WEIGHT,
+            # reference passes the SEM_SEG_HEAD flag to the ins head too
+            use_depthwise_separable_conv=cfg.MODEL.SEM_SEG_HEAD.USE_DEPTHWISE_SEPARABLE_CONV,
         )
 
     @nn.compact
@@ -137,23 +162,26 @@ class PanopticDeepLabInsEmbedHead(DeepLabV3PlusHead):
         y = PanopticDeepLabSemSegHead._decoder(self, features, train)
         stride = self.feature_strides[0]
 
-        def subhead(name):
-            h = Conv2d(
-                features=self.head_channels,
+        # reference panoptic_seg.py:403-471: center_head is ALWAYS two
+        # stacked 3x3 convs; offset_head switches to the 5x5 DSConv variant
+        center_h = y
+        for k, ch in enumerate((y.shape[-1], self.head_channels)):
+            center_h = Conv2d(
+                features=ch,
                 kernel_size=3,
                 padding=1,
                 use_bias=not self.norm,
-                norm=get_norm(self.norm, self.head_channels),
+                norm=get_norm(self.norm, ch),
                 activation=nn.relu,
-                name=f"{name}_head",
-            )(y, train=train)
-            return h
+                name=f"center_head{k}",
+            )(center_h, train=train)
+        offset_h = PanopticDeepLabSemSegHead._head_tower(self, y, "offset_head", train)
 
         center = Conv2d(features=1, kernel_size=1, name="center_predictor")(
-            subhead("center"), train=train
+            center_h, train=train
         ).astype(jnp.float32)
         offset = Conv2d(features=2, kernel_size=1, name="offset_predictor")(
-            subhead("offset"), train=train
+            offset_h, train=train
         ).astype(jnp.float32)
         center = _resize(center, center.shape[1] * stride, center.shape[2] * stride)[..., 0]
         offset = _resize(offset, offset.shape[1] * stride, offset.shape[2] * stride) * stride

@@ -56,7 +56,8 @@ def group_pixels(
     ys = jnp.arange(H, dtype=jnp.float32)[:, None] + offsets[..., 0]
     xs = jnp.arange(W, dtype=jnp.float32)[None, :] + offsets[..., 1]
     loc = jnp.stack([ys, xs], axis=-1).reshape(-1, 1, 2)  # [HW, 1, 2]
-    d = jnp.abs(loc - centers[None]).sum(-1)  # [HW, K] L1, matching reference
+    # squared-L2 nearest center (same argmin as the reference's torch.norm)
+    d = ((loc - centers[None]) ** 2).sum(-1)  # [HW, K]
     d = jnp.where(center_scores[None] > 0, d, jnp.inf)
     ins_id = jnp.argmin(d, axis=-1).astype(jnp.int32) + 1
     any_center = (center_scores > 0).any()
@@ -73,13 +74,18 @@ def get_panoptic_segmentation(
     threshold: float = 0.1,
     nms_kernel: int = 7,
     top_k: int = 200,
+    void_label: int = -1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fuse semantic + instance predictions
-    (reference post_processing.py merge_semantic_and_instance).
+    (reference post_processing.py merge_semantic_and_instance:111-163).
 
-    Returns (panoptic [H, W] = class*divisor + instance, center scores [K]).
-    Majority-vote semantics: each instance takes the most frequent thing class
-    among its pixels; stuff regions smaller than stuff_area become VOID (0).
+    Reference semantics, fixed-shape: each instance takes the most frequent
+    thing class among its pixels (majority vote); instance ids are renumbered
+    per class (1..n in center order); thing-class pixels grouped to no center
+    and stuff regions smaller than stuff_area become ``void_label``.
+
+    Returns (panoptic [H, W] = class*divisor + per-class instance id for
+    things, class*divisor for stuff, void_label elsewhere; center scores [K]).
     """
     H, W = sem_seg.shape
     C = 256  # static class-id budget for the vote/area scatters
@@ -101,19 +107,33 @@ def get_panoptic_segmentation(
     vote_idx = jnp.where(flat_ins > 0, vote_idx, K * C)  # spill bucket
     votes = jnp.zeros((K * C + 1,), jnp.int32).at[vote_idx].add(1)
     votes = votes[: K * C].reshape(K, C)
+    occupied = votes.sum(-1) > 0  # [K] center owns at least one thing pixel
     ins_class = jnp.argmax(votes, axis=-1).astype(jnp.int32)  # [K]
+
+    # per-class renumbering (reference class_id_tracker): instance k becomes
+    # the 1-based count of occupied same-class centers with index <= k
+    same_class = (ins_class[:, None] == ins_class[None, :]) & occupied[None, :]
+    upper = jnp.tril(jnp.ones((K, K), bool))  # j <= k
+    new_id = (same_class & upper).sum(-1).astype(jnp.int32)  # [K] 1-based
 
     pan = jnp.where(
         ins_id > 0,
-        ins_class[jnp.maximum(ins_id - 1, 0)] * label_divisor + ins_id,
-        flat_sem.reshape(H, W) * label_divisor,
+        ins_class[jnp.maximum(ins_id - 1, 0)] * label_divisor
+        + new_id[jnp.maximum(ins_id - 1, 0)],
+        jnp.where(
+            thing_mask,
+            # thing-class pixels grouped to no center: VOID (reference
+            # initializes pan_seg to void and only pastes voted instances)
+            void_label,
+            flat_sem.reshape(H, W) * label_divisor,
+        ),
     )
 
     # small stuff regions -> VOID: area per stuff class
     stuff_sem = jnp.where((ins_id == 0) & ~thing_mask, sem_seg, C - 1)
     areas = jnp.zeros((C,), jnp.int32).at[stuff_sem.reshape(-1)].add(1)
     small = areas[sem_seg] < stuff_area
-    pan = jnp.where((ins_id == 0) & small & ~thing_mask, 0, pan)
+    pan = jnp.where((ins_id == 0) & small & ~thing_mask, void_label, pan)
     return pan, scores
 
 
@@ -167,7 +187,7 @@ def panoptic_deeplab_postprocess(
     thing_set = {int(t) for t in thing_ids}
     segments_info = []
     for pid in np.unique(pan):
-        if pid == 0:  # VOID
+        if pid < 0:  # VOID (reference void_label = -1)
             continue
         cat = int(pid) // label_divisor
         segments_info.append(

@@ -1535,3 +1535,120 @@ def golden_e2e_densepose():
         dp_v=t2n(dp.v),
         decoder_map=t2n(dec),
     )
+
+
+def golden_e2e_panoptic_deeplab():
+    """Panoptic-DeepLab e2e golden (reference projects/Panoptic-DeepLab):
+    pins the semantic head's 2-conv head tower, the instance-embedding branch
+    (own V3+ decoder + center/offset towers + predictors), and the
+    center-grouping panoptic post-processing through our converter."""
+    import sys
+
+    sys.path.insert(0, "/root/reference/projects/DeepLab")
+    sys.path.insert(0, "/root/reference/projects/Panoptic-DeepLab")
+    from panoptic_deeplab import add_panoptic_deeplab_config  # noqa
+    from detectron2.config import get_cfg
+    from detectron2.data import MetadataCatalog
+    from detectron2.modeling import build_model
+
+    cfg = get_cfg()
+    add_panoptic_deeplab_config(cfg)
+    cfg.MODEL.DEVICE = "cpu"
+    cfg.MODEL.META_ARCHITECTURE = "PanopticDeepLab"
+    cfg.MODEL.BACKBONE.NAME = "build_resnet_deeplab_backbone"
+    cfg.MODEL.RESNETS.DEPTH = 50
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res2", "res3", "res5"]
+    cfg.MODEL.RESNETS.RES5_MULTI_GRID = [1, 2, 4]
+    cfg.MODEL.RESNETS.NORM = "BN"
+    cfg.MODEL.RESNETS.STEM_TYPE = "deeplab"
+    cfg.MODEL.SEM_SEG_HEAD.NAME = "PanopticDeepLabSemSegHead"
+    cfg.MODEL.SEM_SEG_HEAD.IN_FEATURES = ["res2", "res3", "res5"]
+    cfg.MODEL.SEM_SEG_HEAD.PROJECT_FEATURES = ["res2", "res3"]
+    cfg.MODEL.SEM_SEG_HEAD.PROJECT_CHANNELS = [16, 32]
+    cfg.MODEL.SEM_SEG_HEAD.ASPP_CHANNELS = 64
+    cfg.MODEL.SEM_SEG_HEAD.ASPP_DILATIONS = [6, 12, 18]
+    cfg.MODEL.SEM_SEG_HEAD.ASPP_DROPOUT = 0.0
+    cfg.MODEL.SEM_SEG_HEAD.CONVS_DIM = 64
+    cfg.MODEL.SEM_SEG_HEAD.HEAD_CHANNELS = 64
+    cfg.MODEL.SEM_SEG_HEAD.COMMON_STRIDE = 4
+    cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES = 9
+    cfg.MODEL.SEM_SEG_HEAD.NORM = "BN"
+    cfg.MODEL.INS_EMBED_HEAD.IN_FEATURES = ["res2", "res3", "res5"]
+    cfg.MODEL.INS_EMBED_HEAD.PROJECT_FEATURES = ["res2", "res3"]
+    cfg.MODEL.INS_EMBED_HEAD.PROJECT_CHANNELS = [16, 32]
+    cfg.MODEL.INS_EMBED_HEAD.ASPP_CHANNELS = 64
+    cfg.MODEL.INS_EMBED_HEAD.ASPP_DROPOUT = 0.0
+    cfg.MODEL.INS_EMBED_HEAD.CONVS_DIM = 32
+    cfg.MODEL.INS_EMBED_HEAD.HEAD_CHANNELS = 16
+    cfg.MODEL.INS_EMBED_HEAD.NORM = "BN"
+    cfg.DATASETS.TRAIN = ("pdl_oracle_test",)
+    meta = MetadataCatalog.get("pdl_oracle_test")
+    meta.label_divisor = 1000
+    meta.thing_dataset_id_to_contiguous_id = {101: 5, 102: 6, 103: 7, 104: 8}
+    meta.stuff_dataset_id_to_contiguous_id = {i: i for i in range(5)}
+    meta.ignore_label = 255
+
+    model = build_model(cfg)
+    model.eval()
+
+    sd = model.state_dict()
+    names, shapes = [], []
+    new_sd = {}
+    for k, v in sd.items():
+        if k.endswith("num_batches_tracked") or "pixel_" in k:
+            new_sd[k] = v
+            continue
+        arr = synth_weight_value(k, tuple(v.shape))
+        new_sd[k] = torch.from_numpy(arr)
+        names.append(k)
+        shapes.append(",".join(map(str, v.shape)))
+    model.load_state_dict(new_sd)
+
+    rng = np.random.RandomState(202)
+    img = _structured_image(rng, 256, 256)
+    inp = {"image": torch.from_numpy(img.transpose(2, 0, 1)).float(), "height": 256, "width": 256}
+    with torch.no_grad():
+        images = model.preprocess_image if False else None  # noqa (no helper on this arch)
+        x = (inp["image"] - model.pixel_mean) / model.pixel_std
+        feats = model.backbone(x.unsqueeze(0))
+        sem, _ = model.sem_seg_head(feats, None, None)
+        center, offset, _, _ = model.ins_embed_head(feats, None, None, None, None)
+
+    # grouping parity on a handcrafted NON-degenerate input (random-weight
+    # maps leave no center above threshold): two things + stuff regions
+    from panoptic_deeplab.post_processing import get_panoptic_segmentation
+
+    H = W = 64
+    syn_sem = np.zeros((H, W), np.int64)
+    syn_sem[:, 32:] = 6  # thing class on the right half
+    syn_sem[48:, :32] = 2  # stuff class bottom-left
+    syn_center = np.zeros((H, W), np.float32)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    for cy, cx in ((16, 48), (48, 48)):
+        syn_center += np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * 6.0**2))
+    syn_offset = rng.randn(2, H, W).astype(np.float32) * 2.0
+    pan_syn, _ = get_panoptic_segmentation(
+        torch.from_numpy(syn_sem).unsqueeze(0),
+        torch.from_numpy(syn_center).unsqueeze(0),
+        torch.from_numpy(syn_offset),
+        thing_ids={5, 6, 7, 8},
+        label_divisor=1000,
+        stuff_area=64,
+        void_label=-1,
+        threshold=0.1,
+        nms_kernel=7,
+        top_k=200,
+    )
+    save(
+        "e2e_panoptic_deeplab_r50",
+        image=img,
+        weight_names=np.array(names),
+        weight_shapes=np.array(shapes),
+        sem_seg=t2n(sem[0]),
+        center=t2n(center[0]),
+        offset=t2n(offset[0]),
+        syn_sem=syn_sem,
+        syn_center=syn_center,
+        syn_offset=syn_offset,
+        syn_panoptic=t2n(pan_syn.squeeze(0)),
+    )

@@ -605,4 +605,11 @@ def install():
     av.video = types.SimpleNamespace(frame=types.SimpleNamespace(VideoFrame=object))
     av.open = lambda *a, **k: (_ for _ in ()).throw(NotImplementedError("av shim"))
 
+    # panopticapi: imported by panoptic dataset mappers for rgb2id only
+    papi = mod("panopticapi")
+    papi_utils = mod("panopticapi.utils")
+    papi_utils.rgb2id = lambda c: c[:, :, 0] + 256 * c[:, :, 1] + 256 * 256 * c[:, :, 2]
+    papi_utils.id2rgb = lambda i: i  # not exercised
+    papi.utils = papi_utils
+
     # cv2/psutil/pydoc are real; nothing else needed.
