@@ -164,10 +164,27 @@ class ResizeTransform(Transform):
         self.interp = interp or "bilinear"
 
     def apply_image(self, img, interp: Optional[str] = None):
+        """Pixel-exact reference semantics (transform.py:112-147): uint8 goes
+        through PIL (whose BILINEAR is antialiased on downscale — cv2's
+        INTER_LINEAR differs by up to ~60/255 there), float through a plain
+        bilinear (torch F.interpolate align_corners=False ≙ cv2 INTER_LINEAR)."""
         import cv2
+        from PIL import Image
 
         assert img.shape[:2] == (self.h, self.w), (img.shape, (self.h, self.w))
         method = interp or self.interp
+        if img.dtype == np.uint8 and method in ("nearest", "bilinear", "bicubic"):
+            pil_interp = {
+                "nearest": Image.NEAREST,
+                "bilinear": Image.BILINEAR,
+                "bicubic": Image.BICUBIC,
+            }[method]
+            squeeze = img.ndim == 3 and img.shape[2] == 1
+            pil_image = Image.fromarray(img[:, :, 0] if squeeze else img)
+            out = np.asarray(pil_image.resize((self.new_w, self.new_h), pil_interp))
+            if squeeze:
+                out = out[:, :, None]
+            return out
         cv_interp = {
             "nearest": cv2.INTER_NEAREST,
             "bilinear": cv2.INTER_LINEAR,

@@ -1652,3 +1652,57 @@ def golden_e2e_panoptic_deeplab():
         syn_offset=syn_offset,
         syn_panoptic=t2n(pan_syn.squeeze(0)),
     )
+
+
+def golden_e2e_tta():
+    """GeneralizedRCNNWithTTA golden on the Mask R-CNN R18 fixture
+    (reference modeling/test_time_augmentation.py:101-307): pins the
+    multi-scale+flip protocol — per-copy detection, inverse-transform box
+    union, one-hot fast_rcnn merge NMS, mask-head re-run on merged boxes in
+    every augmented frame, probability averaging, paste."""
+    from detectron2.modeling import build_model
+    from detectron2.modeling.test_time_augmentation import GeneralizedRCNNWithTTA
+
+    cfg = _e2e_cfg_ref()
+    cfg.TEST.AUG.ENABLED = True
+    cfg.TEST.AUG.MIN_SIZES = (256, 320)
+    cfg.TEST.AUG.MAX_SIZE = 512
+    cfg.TEST.AUG.FLIP = True
+
+    model = build_model(cfg)
+    model.eval()
+
+    sd = model.state_dict()
+    names, shapes = [], []
+    new_sd = {}
+    for k, v in sd.items():
+        if k.endswith("num_batches_tracked") or "cell_anchors" in k or "pixel_" in k:
+            new_sd[k] = v
+            continue
+        arr = synth_weight_value(k, tuple(v.shape))
+        new_sd[k] = torch.from_numpy(arr)
+        names.append(k)
+        shapes.append(",".join(map(str, v.shape)))
+    model.load_state_dict(new_sd)
+
+    tta = GeneralizedRCNNWithTTA(cfg, model, batch_size=1)
+    rng = np.random.RandomState(123)
+    img = rng.randint(0, 255, (320, 320, 3)).astype(np.uint8)  # SAME as maskrcnn golden
+    inp = {
+        "image": torch.from_numpy(img.transpose(2, 0, 1)),  # uint8 CHW -> PIL resize path
+        "height": 320,
+        "width": 320,
+    }
+    with torch.no_grad():
+        out = tta([inp])[0]["instances"]
+    masks = t2n(out.pred_masks[:10]).astype(np.uint8) if out.has("pred_masks") else np.zeros(0)
+    save(
+        "e2e_tta_r18",
+        image=img,
+        weight_names=np.array(names),
+        weight_shapes=np.array(shapes),
+        out_boxes=t2n(out.pred_boxes.tensor),
+        out_scores=t2n(out.scores),
+        out_classes=t2n(out.pred_classes),
+        out_masks10=masks,
+    )

@@ -94,3 +94,26 @@ def test_blend_brightness():
     img = np.full((4, 4, 3), 100, np.uint8)
     out, _ = T.apply_augmentations([aug], img.copy())
     np.testing.assert_allclose(out, 50, atol=1)
+
+
+def test_resize_uint8_matches_pil_antialiased():
+    """uint8 resize must be pixel-exact with PIL (the reference's
+    transform.py:117-124 path): PIL's BILINEAR antialiases on downscale,
+    where cv2's INTER_LINEAR diverges by up to ~60/255 — an AP-relevant
+    preprocessing difference."""
+    from PIL import Image
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 255, (320, 280, 3), np.uint8)
+    for new_h, new_w in [(256, 224), (480, 420)]:
+        t = T.ResizeTransform(320, 280, new_h, new_w)
+        ours = t.apply_image(img)
+        ref = np.asarray(Image.fromarray(img).resize((new_w, new_h), Image.BILINEAR))
+        np.testing.assert_array_equal(ours, ref)
+    # nearest used for segmentation labels
+    seg = rng.randint(0, 20, (320, 280), np.uint8)
+    t = T.ResizeTransform(320, 280, 160, 140)
+    np.testing.assert_array_equal(
+        t.apply_segmentation(seg),
+        np.asarray(Image.fromarray(seg).resize((140, 160), Image.NEAREST)),
+    )
