@@ -176,6 +176,17 @@ def flax_path_to_d2_name(path: Tuple[str, ...]) -> str:
             segs.extend(["decoder", m.group(1), "fuse_conv", m.group(2)])
             prev = seg
             continue
+        # DensePoseDeepLabHead ASPP (reference densepose/modeling/roi_heads/
+        # deeplab.py): Sequential-indexed convs/GNs under an "ASPP" child
+        m = re.fullmatch(r"convs_(\d+)_(\d+)", seg)
+        if m and prev == "densepose_head":
+            segs.extend(["ASPP", "convs", m.group(1), m.group(2)])
+            prev = seg
+            continue
+        if seg == "project_0" and prev == "densepose_head":
+            segs.extend(["ASPP", "project", "0"])
+            prev = seg
+            continue
         m = re.fullmatch(r"(head|center_head|offset_head)(\d)", seg)
         if m and prev in ("sem_seg_head", "ins_embed_head"):
             # Panoptic-DeepLab head towers: d2 builds nn.Sequential(conv, conv)

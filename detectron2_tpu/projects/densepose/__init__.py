@@ -37,6 +37,7 @@ from detectron2_tpu.projects.densepose.confidences import (
 from detectron2_tpu.projects.densepose.densepose_head import (
     DensePoseChartPredictor,
     DensePoseDecoder,
+    DensePoseDeepLabHead,
     DensePoseEmbeddingPredictor,
     DensePoseV1ConvXHead,
 )
@@ -50,6 +51,7 @@ from detectron2_tpu.projects.densepose.roi_heads import DensePoseROIHeads
 __all__ = [
     "add_densepose_config",
     "DensePoseV1ConvXHead",
+    "DensePoseDeepLabHead",
     "DensePoseChartPredictor",
     "DensePoseEmbeddingPredictor",
     "DensePoseDecoder",

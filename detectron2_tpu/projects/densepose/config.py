@@ -37,6 +37,11 @@ def add_densepose_config(cfg):
     cfg.MODEL.ROI_DENSEPOSE_HEAD.DECODER_NORM = ""
     cfg.MODEL.ROI_DENSEPOSE_HEAD.DECODER_COMMON_STRIDE = 4
 
+    # DeepLab head variant (reference roi_heads/deeplab.py)
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.DEEPLAB = CN()
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.DEEPLAB.NORM = "GN"
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.DEEPLAB.NONLOCAL_ON = 0
+
     # UV confidence modeling (reference config.py add_densepose_head_config:
     # UV_CONFIDENCE; Neverova et al. NeurIPS 2019)
     cfg.MODEL.ROI_DENSEPOSE_HEAD.UV_CONFIDENCE = CN({"ENABLED": False})

@@ -72,6 +72,80 @@ class DensePoseV1ConvXHead(nn.Module):
         return x
 
 
+@ROI_DENSEPOSE_HEAD_REGISTRY.register()
+class DensePoseDeepLabHead(nn.Module):
+    """DeepLabV3-style DensePose head (reference roi_heads/deeplab.py):
+    a GN-normalized ASPP (torchvision deeplabv3 layout — 1x1 + three atrous
+    3x3 branches at rates (6, 12, 56) + image pooling, 5-way concat projected
+    by a bias-free 1x1+relu) followed by the stacked body_conv_fcn tower
+    (GN-normalized when DEEPLAB.NORM == "GN"). The optional NONLocalBlock2D
+    is unused by every zoo config and not implemented."""
+
+    conv_dims: int = 512
+    num_convs: int = 8
+    kernel: int = 3
+    norm: str = "GN"
+    aspp_rates: Tuple[int, int, int] = (6, 12, 56)
+
+    @classmethod
+    def from_config(cls, cfg, input_shape=None):
+        h = cfg.MODEL.ROI_DENSEPOSE_HEAD
+        assert not h.DEEPLAB.NONLOCAL_ON, "NONLocalBlock2D is not implemented (no zoo config uses it)"
+        return cls(
+            conv_dims=h.CONV_HEAD_DIM,
+            num_convs=h.NUM_STACKED_CONVS,
+            kernel=h.CONV_HEAD_KERNEL,
+            norm=h.DEEPLAB.NORM,
+        )
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        """x: [R, h, w, C] -> [R, h, w, conv_dims]."""
+        C = x.shape[-1]  # reference: ASPP out_channels = input_channels
+
+        def gn(name, y):
+            return nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=y.dtype, name=name)(y)
+
+        # branch 0: 1x1 conv + GN + relu (Sequential indices 0, 1)
+        branches = []
+        y = Conv2d(features=C, kernel_size=1, use_bias=False, name="convs_0_0")(x, train=train)
+        branches.append(nn.relu(gn("convs_0_1", y)))
+        # branches 1..3: atrous 3x3 + GN + relu
+        for i, rate in enumerate(self.aspp_rates, start=1):
+            y = Conv2d(
+                features=C,
+                kernel_size=3,
+                padding=rate,
+                dilation=rate,
+                use_bias=False,
+                name=f"convs_{i}_0",
+            )(x, train=train)
+            branches.append(nn.relu(gn(f"convs_{i}_1", y)))
+        # branch 4: image pooling (pool@0, conv@1, GN@2) broadcast back
+        pooled = x.mean(axis=(1, 2), keepdims=True)
+        y = Conv2d(features=C, kernel_size=1, use_bias=False, name="convs_4_1")(
+            pooled, train=train
+        )
+        y = nn.relu(gn("convs_4_2", y))
+        branches.append(jnp.broadcast_to(y, x.shape[:3] + (C,)))
+
+        y = jnp.concatenate(branches, axis=-1)
+        y = Conv2d(features=C, kernel_size=1, use_bias=False, name="project_0")(y, train=train)
+        x = nn.relu(y)
+
+        for i in range(self.num_convs):
+            x = Conv2d(
+                features=self.conv_dims,
+                kernel_size=self.kernel,
+                padding=self.kernel // 2,
+                use_bias=not self.norm,
+                norm=get_norm(self.norm, self.conv_dims),
+                activation=nn.relu,
+                name=f"body_conv_fcn{i + 1}",
+            )(x, train=train)
+        return x
+
+
 def _interp2d(x: jnp.ndarray, scale: int) -> jnp.ndarray:
     """Bilinear x``scale`` upsample, torch interpolate(align_corners=False)
     semantics (reference chart.py:68-81 interp2d)."""

@@ -1706,3 +1706,68 @@ def golden_e2e_tta():
         out_classes=t2n(out.pred_classes),
         out_masks10=masks,
     )
+
+
+def golden_e2e_densepose_deeplab():
+    """DensePose DeepLab head + UV-confidence golden (the zoo's
+    R_*_FPN_DL_WC1 family): pins the GN ASPP (1x1 + atrous 6/12/56 + image
+    pooling + project), the GN body tower, and the sigma_2_lowres confidence
+    deconv of DensePoseChartWithConfidencePredictor."""
+    import sys
+
+    sys.path.insert(0, "/root/reference/projects/DensePose")
+    from densepose import add_densepose_config  # noqa
+    from detectron2.modeling import build_model
+
+    cfg = _e2e_cfg_ref()
+    add_densepose_config(cfg)
+    cfg.MODEL.MASK_ON = False
+    cfg.MODEL.ROI_HEADS.NAME = "DensePoseROIHeads"
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 1
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.NAME = "DensePoseDeepLabHead"
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.NUM_STACKED_CONVS = 2
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.CONV_HEAD_DIM = 64
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.POOLER_RESOLUTION = 14
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.POOLER_SAMPLING_RATIO = 2
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.DECODER_CONV_DIMS = 64
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.DECODER_NUM_CLASSES = 64
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.UV_CONFIDENCE.ENABLED = True
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.UV_CONFIDENCE.TYPE = "iid_iso"
+    cfg.TEST.DETECTIONS_PER_IMAGE = 20
+
+    model = build_model(cfg)
+    model.eval()
+
+    sd = model.state_dict()
+    names, shapes = [], []
+    new_sd = {}
+    for k, v in sd.items():
+        if k.endswith("num_batches_tracked") or "cell_anchors" in k or "pixel_" in k:
+            new_sd[k] = v
+            continue
+        arr = synth_weight_value(k, tuple(v.shape))
+        new_sd[k] = torch.from_numpy(arr)
+        names.append(k)
+        shapes.append(",".join(map(str, v.shape)))
+    model.load_state_dict(new_sd)
+
+    rng = np.random.RandomState(888)
+    img = _structured_image(rng, 320, 320)
+    inp = {"image": torch.from_numpy(img.transpose(2, 0, 1)).float(), "height": 320, "width": 320}
+    with torch.no_grad():
+        raw = model.inference([inp], do_postprocess=False)[0]
+    dp = raw.pred_densepose
+    save(
+        "e2e_densepose_dl_r18",
+        image=img,
+        weight_names=np.array(names),
+        weight_shapes=np.array(shapes),
+        out_boxes=t2n(raw.pred_boxes.tensor),
+        out_scores=t2n(raw.scores),
+        out_classes=t2n(raw.pred_classes),
+        dp_coarse_segm=t2n(dp.coarse_segm),
+        dp_fine_segm=t2n(dp.fine_segm),
+        dp_u=t2n(dp.u),
+        dp_v=t2n(dp.v),
+        dp_sigma2=t2n(dp.sigma_2),
+    )

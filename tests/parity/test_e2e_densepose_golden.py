@@ -141,3 +141,74 @@ def test_e2e_densepose_reference_weights(tmp_path):
     ref_part = ref_fine.argmax(-1)
     agree = (dp[..., 0] == ref_part) | (dp[..., 0] == 0)
     assert agree.mean() > 0.99, agree.mean()
+
+
+GOLDEN_DL = os.path.join(
+    os.path.dirname(__file__), "..", "goldens", "e2e_densepose_dl_r18.npz"
+)
+
+
+def test_e2e_densepose_deeplab_wc1_reference_weights(tmp_path):
+    """The zoo's DL_WC1 family: DensePoseDeepLabHead (GN ASPP at rates
+    6/12/56 + GN body tower) with the iid_iso UV-confidence predictor
+    (sigma_2_lowres deconv)."""
+    if not os.path.exists(GOLDEN_DL):
+        pytest.skip("densepose deeplab golden not generated")
+    g = np.load(GOLDEN_DL)
+
+    sd = {}
+    for name, shape_s in zip(g["weight_names"], g["weight_shapes"]):
+        shape = tuple(int(x) for x in str(shape_s).split(",") if x)
+        sd[str(name)] = synth_weight_value(str(name), shape)
+    pkl_path = tmp_path / "synthetic_densepose_dl.pkl"
+    with open(pkl_path, "wb") as f:
+        pickle.dump({"model": sd, "__author__": "reference-oracle"}, f)
+
+    from detectron2_tpu.checkpoint import DetectionCheckpointer
+    from detectron2_tpu.modeling import build_model
+
+    cfg = _our_cfg()
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.NAME = "DensePoseDeepLabHead"
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.UV_CONFIDENCE.ENABLED = True
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.UV_CONFIDENCE.TYPE = "iid_iso"
+    model = build_model(cfg)
+    model = model.clone(roi_heads=model.roi_heads.clone(raw_outputs=True))
+    batch = {
+        "image": jnp.asarray(g["image"][None].astype(np.float32)),
+        "image_sizes": jnp.asarray([[320, 320]], jnp.int32),
+    }
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        batch,
+        train=False,
+    )
+    ckpt = DetectionCheckpointer(variables)
+    ckpt.load(str(pkl_path))
+    variables = ckpt.params
+
+    out = model.apply(variables, batch, train=False)
+    valid = np.asarray(out["valid"][0])
+    scores = np.asarray(out["scores"][0])[valid]
+    boxes = np.asarray(out["pred_boxes"][0])[valid]
+    classes = np.asarray(out["pred_classes"][0])[valid]
+
+    o_order = np.argsort(-scores, kind="stable")
+    r_order = np.argsort(-g["out_scores"], kind="stable")
+    assert len(o_order) == len(r_order), (len(o_order), len(r_order))
+    np.testing.assert_allclose(scores[o_order], g["out_scores"][r_order], rtol=1e-3, atol=1e-4)
+    np.testing.assert_array_equal(classes[o_order], g["out_classes"][r_order])
+    np.testing.assert_allclose(boxes[o_order], g["out_boxes"][r_order], rtol=1e-3, atol=0.05)
+
+    raw = out["pred_densepose_raw"]
+    for ours_key, ref_key in (
+        ("coarse_segm", "dp_coarse_segm"),
+        ("fine_segm", "dp_fine_segm"),
+        ("u", "dp_u"),
+        ("v", "dp_v"),
+        ("sigma_2", "dp_sigma2"),
+    ):
+        ours = np.asarray(raw[ours_key][0])[valid][o_order[:8]]
+        ref = g[ref_key][r_order[:8]].transpose(0, 2, 3, 1)
+        assert ours.shape == ref.shape, (ours_key, ours.shape, ref.shape)
+        err = np.abs(ours - ref).max()
+        assert err < 5e-3, (ours_key, err)
