@@ -176,6 +176,18 @@ def flax_path_to_d2_name(path: Tuple[str, ...]) -> str:
             segs.extend(["decoder", m.group(1), "fuse_conv", m.group(2)])
             prev = seg
             continue
+        # HRNet / HRFPN (reference densepose/modeling/hrnet.py, hrfpn.py):
+        # flax scope names mirror the torch ModuleList paths with "_" for "."
+        m = re.fullmatch(
+            r"(layer1|transition\d|stage\d|branches|fuse_layers|downsample|"
+            r"interp_conv|reduction_pooling_conv|fpn_conv)((?:_\d+)+)",
+            seg,
+        )
+        if m:
+            segs.append(m.group(1))
+            segs.extend(m.group(2).strip("_").split("_"))
+            prev = seg
+            continue
         # DensePoseDeepLabHead ASPP (reference densepose/modeling/roi_heads/
         # deeplab.py): Sequential-indexed convs/GNs under an "ASPP" child
         m = re.fullmatch(r"convs_(\d+)_(\d+)", seg)

@@ -79,13 +79,21 @@ class Conv2d(nn.Module):
 
 
 class ConvTranspose2d(nn.Module):
-    """Transposed conv (NHWC) matching torch's ConvTranspose2d geometry."""
+    """Transposed conv (NHWC) matching torch's ConvTranspose2d geometry.
+
+    Default padding picks the torch equivalence for the two common cases:
+    k==s (torch padding 0, exact k-fold upsample) -> "VALID"; k!=s (torch
+    padding k/2-1, e.g. k=4/s=2) -> "SAME" (verified bit-exact vs torch).
+    For torch padding=0 with k!=s (out = (in-1)*s + k, e.g. HRFPN's interp
+    convs) pass an explicit per-dim padding ((k-1, k-1),)*2 — flax "VALID"
+    diverges when s > k."""
 
     features: int
     kernel_size: Union[int, Tuple[int, int]] = 2
     strides: Union[int, Tuple[int, int]] = 2
     use_bias: bool = True
     activation: Optional[Callable] = None
+    padding: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -95,7 +103,7 @@ class ConvTranspose2d(nn.Module):
             features=self.features,
             kernel_size=ks,
             strides=st,
-            padding="VALID" if ks == st else "SAME",
+            padding=self.padding or ("VALID" if ks == st else "SAME"),
             use_bias=self.use_bias,
             dtype=x.dtype,
         )(x)

@@ -41,6 +41,11 @@ from detectron2_tpu.projects.densepose.densepose_head import (
     DensePoseEmbeddingPredictor,
     DensePoseV1ConvXHead,
 )
+from detectron2_tpu.projects.densepose.hrfpn import HRFPN, build_hrfpn_backbone
+from detectron2_tpu.projects.densepose.hrnet import (
+    PoseHigherResolutionNet,
+    build_pose_hrnet_backbone,
+)
 from detectron2_tpu.projects.densepose.evaluation import (
     DensePoseCOCOEvaluator,
     MeshDistanceProvider,
@@ -56,6 +61,10 @@ __all__ = [
     "DensePoseEmbeddingPredictor",
     "DensePoseDecoder",
     "DensePoseROIHeads",
+    "HRFPN",
+    "PoseHigherResolutionNet",
+    "build_hrfpn_backbone",
+    "build_pose_hrnet_backbone",
     "Embedder",
     "VertexDirectEmbedder",
     "VertexFeatureEmbedder",

@@ -48,6 +48,25 @@ def add_densepose_config(cfg):
     cfg.MODEL.ROI_DENSEPOSE_HEAD.UV_CONFIDENCE.TYPE = "iid_iso"  # iid_iso | indep_aniso
     cfg.MODEL.ROI_DENSEPOSE_HEAD.UV_CONFIDENCE.EPSILON = 0.01
 
+    # HRNet backbone (reference config.py add_hrnet_config — HigherHRNet w32)
+    cfg.MODEL.HRNET = CN()
+    cfg.MODEL.HRNET.STEM_INPLANES = 64
+    for name, (mods, branches, blocks, chans) in {
+        "STAGE2": (1, 2, [4, 4], [32, 64]),
+        "STAGE3": (4, 3, [4, 4, 4], [32, 64, 128]),
+        "STAGE4": (3, 4, [4, 4, 4, 4], [32, 64, 128, 256]),
+    }.items():
+        stage = CN()
+        stage.NUM_MODULES = mods
+        stage.NUM_BRANCHES = branches
+        stage.BLOCK = "BASIC"
+        stage.NUM_BLOCKS = blocks
+        stage.NUM_CHANNELS = chans
+        stage.FUSE_METHOD = "SUM"
+        setattr(cfg.MODEL.HRNET, name, stage)
+    cfg.MODEL.HRNET.HRFPN = CN()
+    cfg.MODEL.HRNET.HRFPN.OUT_CHANNELS = 256
+
     # Continuous Surface Embeddings (reference config.py add_densepose_head_cse_config)
     cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE = CN()
     cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE.EMBED_SIZE = 16

@@ -1771,3 +1771,65 @@ def golden_e2e_densepose_deeplab():
         dp_v=t2n(dp.v),
         dp_sigma2=t2n(dp.sigma_2),
     )
+
+
+def golden_hrfpn_backbone():
+    """HRNet + HRFPN backbone golden (reference densepose/modeling/hrnet.py +
+    hrfpn.py): a reduced HRNet (2 modules deep) + 5-level HRFPN on a fixed
+    image — pins the stem, Bottleneck layer1, transitions, branch towers,
+    fuse mesh, the padding-0 interp deconvs, reduction convs and fpn convs
+    through our converter."""
+    import sys
+
+    sys.path.insert(0, "/root/reference/projects/DensePose")
+    from densepose import add_densepose_config  # noqa
+    from detectron2.config import get_cfg
+    from detectron2.modeling import build_model
+
+    cfg = get_cfg()
+    add_densepose_config(cfg)
+    cfg.MODEL.DEVICE = "cpu"
+    # reduced HRNet: fewer modules/blocks, narrow branches
+    cfg.MODEL.HRNET.STAGE2.NUM_MODULES = 1
+    cfg.MODEL.HRNET.STAGE2.NUM_BLOCKS = [2, 2]
+    cfg.MODEL.HRNET.STAGE2.NUM_CHANNELS = [16, 32]
+    cfg.MODEL.HRNET.STAGE3.NUM_MODULES = 2
+    cfg.MODEL.HRNET.STAGE3.NUM_BLOCKS = [2, 2, 2]
+    cfg.MODEL.HRNET.STAGE3.NUM_CHANNELS = [16, 32, 64]
+    cfg.MODEL.HRNET.STAGE4.NUM_MODULES = 1
+    cfg.MODEL.HRNET.STAGE4.NUM_BLOCKS = [2, 2, 2, 2]
+    cfg.MODEL.HRNET.STAGE4.NUM_CHANNELS = [16, 32, 64, 128]
+    cfg.MODEL.HRNET.HRFPN.OUT_CHANNELS = 64
+    cfg.MODEL.ROI_HEADS.IN_FEATURES = ["p1", "p2", "p3", "p4", "p5"]
+
+    from densepose.modeling.hrfpn import build_hrfpn_backbone
+    from detectron2.layers import ShapeSpec
+
+    model = build_hrfpn_backbone(cfg, ShapeSpec(channels=3))
+    model.eval()
+
+    sd = model.state_dict()
+    names, shapes = [], []
+    new_sd = {}
+    for k, v in sd.items():
+        if k.endswith("num_batches_tracked"):
+            new_sd[k] = v
+            continue
+        arr = synth_weight_value(k, tuple(v.shape))
+        new_sd[k] = torch.from_numpy(arr)
+        names.append(k)
+        shapes.append(",".join(map(str, v.shape)))
+    model.load_state_dict(new_sd)
+
+    rng = np.random.RandomState(909)
+    img = _structured_image(rng, 256, 256).astype(np.float32) / 127.5 - 1.0
+    x = torch.from_numpy(img.transpose(2, 0, 1)).unsqueeze(0)
+    with torch.no_grad():
+        feats = model(x)
+    save(
+        "hrfpn_backbone",
+        image=img,
+        weight_names=np.array(names),
+        weight_shapes=np.array(shapes),
+        **{f"feat_{k}": t2n(v) for k, v in feats.items()},
+    )
