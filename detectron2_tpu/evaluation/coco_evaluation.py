@@ -131,14 +131,26 @@ class COCOEvaluator(DatasetEvaluator):
         metadata = inputs["metadata"]
         image_sizes = np.asarray(inputs["image_sizes"])
         out_np = {k: np.asarray(v) for k, v in outputs.items() if k != "metadata"}
+        is_proposals = "proposal_boxes" in out_np and "pred_boxes" not in out_np
         for i, meta in enumerate(metadata):
             per_img = {k: v[i] for k, v in out_np.items()}
             in_h, in_w = int(image_sizes[i][0]), int(image_sizes[i][1])
-            instances = detector_postprocess(
-                per_img, meta.get("height", in_h), meta.get("width", in_w), in_h, in_w
-            )
+            out_h = meta.get("height", in_h)
+            out_w = meta.get("width", in_w)
             prediction = {"image_id": meta["image_id"]}
-            prediction["instances"] = instances_to_coco_json(instances, meta["image_id"])
+            if is_proposals:
+                # ProposalNetwork output (reference coco_evaluation.py:172-173):
+                # rescale padded proposals to the original frame, drop padding.
+                valid = per_img["valid"].astype(bool)
+                boxes = per_img["proposal_boxes"][valid].astype(np.float64)
+                logits = per_img["proposal_logits"][valid].astype(np.float32)
+                boxes = boxes * np.array([out_w / in_w, out_h / in_h] * 2)
+                boxes[:, 0::2] = boxes[:, 0::2].clip(0, out_w)
+                boxes[:, 1::2] = boxes[:, 1::2].clip(0, out_h)
+                prediction["proposals"] = {"boxes": boxes, "objectness_logits": logits}
+            else:
+                instances = detector_postprocess(per_img, out_h, out_w, in_h, in_w)
+                prediction["instances"] = instances_to_coco_json(instances, meta["image_id"])
             if len(prediction) > 1:
                 self._predictions.append(prediction)
 
@@ -156,15 +168,48 @@ class COCOEvaluator(DatasetEvaluator):
             self._logger.warning("[COCOEvaluator] Did not receive valid predictions.")
             return {}
 
-        if self._output_dir:
+        if self._output_dir and "instances" in predictions[0]:
             PathManager.mkdirs(self._output_dir)
             file_path = os.path.join(self._output_dir, "instances_predictions.json")
             with PathManager.open(file_path, "w") as f:
                 json.dump(predictions, f)
 
         self._results = OrderedDict()
-        self._eval_predictions(predictions, img_ids=img_ids)
+        if "proposals" in predictions[0]:
+            self._eval_box_proposals(predictions)
+        if "instances" in predictions[0]:
+            self._eval_predictions(predictions, img_ids=img_ids)
         return copy.deepcopy(self._results)
+
+    def _eval_box_proposals(self, predictions):
+        """AR@{100,1000} over area ranges for ProposalNetwork outputs
+        (reference coco_evaluation.py:286-322)."""
+        if self._output_dir:
+            import pickle
+
+            PathManager.mkdirs(self._output_dir)
+            proposal_data = {
+                "boxes": [p["proposals"]["boxes"] for p in predictions],
+                "objectness_logits": [p["proposals"]["objectness_logits"] for p in predictions],
+                "ids": [p["image_id"] for p in predictions],
+                "bbox_mode": BoxMode.XYXY_ABS,
+            }
+            with PathManager.open(os.path.join(self._output_dir, "box_proposals.pkl"), "wb") as f:
+                pickle.dump(proposal_data, f)
+
+        if not self._do_evaluation:
+            self._logger.info("Annotations are not available for evaluation.")
+            return
+
+        self._logger.info("Evaluating bbox proposals ...")
+        res = {}
+        areas = {"all": "", "small": "s", "medium": "m", "large": "l"}
+        for limit in [100, 1000]:
+            for area, suffix in areas.items():
+                stats = _evaluate_box_proposals(predictions, self._coco_api, area=area, limit=limit)
+                res["AR{}@{:d}".format(suffix, limit)] = float(stats["ar"] * 100)
+        self._logger.info("Proposal metrics: " + str(res))
+        self._results["box_proposals"] = res
 
     def _eval_predictions(self, predictions, img_ids=None):
         self._logger.info("Preparing results for COCO format ...")
@@ -242,6 +287,91 @@ class COCOEvaluator(DatasetEvaluator):
             results_per_category.append((f"{name}", float(ap * 100)))
         results.update({"AP-" + name: ap for name, ap in results_per_category})
         return results
+
+
+def _pairwise_iou_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """IoU matrix [len(a), len(b)] of XYXY boxes."""
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area_a[:, None] + area_b[None, :] - inter
+    return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
+
+
+def _evaluate_box_proposals(dataset_predictions, coco_api, thresholds=None, area="all", limit=None):
+    """Proposal recall (AR) metrics — the reference's fast Detectron-style
+    evaluation (coco_evaluation.py:456-560): greedily match each gt box to its
+    best-covering unused proposal, then average recall over IoU 0.5:0.95.
+    """
+    areas = {
+        "all": 0, "small": 1, "medium": 2, "large": 3,
+        "96-128": 4, "128-256": 5, "256-512": 6, "512-inf": 7,
+    }
+    area_ranges = [
+        [0 ** 2, 1e5 ** 2], [0 ** 2, 32 ** 2], [32 ** 2, 96 ** 2], [96 ** 2, 1e5 ** 2],
+        [96 ** 2, 128 ** 2], [128 ** 2, 256 ** 2], [256 ** 2, 512 ** 2], [512 ** 2, 1e5 ** 2],
+    ]
+    assert area in areas, f"Unknown area range: {area}"
+    area_range = area_ranges[areas[area]]
+    gt_overlaps = []
+    num_pos = 0
+
+    for prediction_dict in dataset_predictions:
+        proposals = prediction_dict["proposals"]
+        order = np.argsort(-np.asarray(proposals["objectness_logits"]))
+        boxes = np.asarray(proposals["boxes"], np.float64)[order]
+
+        anno = coco_api.loadAnns(coco_api.getAnnIds(imgIds=prediction_dict["image_id"]))
+        gt_boxes = np.array(
+            [
+                BoxMode.convert(obj["bbox"], BoxMode.XYWH_ABS, BoxMode.XYXY_ABS)
+                for obj in anno
+                if obj.get("iscrowd", 0) == 0
+            ],
+            np.float64,
+        ).reshape(-1, 4)
+        gt_areas = np.array([obj["area"] for obj in anno if obj.get("iscrowd", 0) == 0])
+
+        if len(gt_boxes) == 0 or len(boxes) == 0:
+            continue
+        keep_gt = (gt_areas >= area_range[0]) & (gt_areas <= area_range[1])
+        gt_boxes = gt_boxes[keep_gt]
+        num_pos += len(gt_boxes)
+        if len(gt_boxes) == 0:
+            continue
+        if limit is not None and len(boxes) > limit:
+            boxes = boxes[:limit]
+
+        overlaps = _pairwise_iou_np(boxes, gt_boxes)
+        _gt_overlaps = np.zeros(len(gt_boxes), np.float32)
+        for j in range(min(len(boxes), len(gt_boxes))):
+            max_overlaps = overlaps.max(axis=0)
+            argmax_overlaps = overlaps.argmax(axis=0)
+            gt_ind = max_overlaps.argmax()
+            box_ind = argmax_overlaps[gt_ind]
+            _gt_overlaps[j] = overlaps[box_ind, gt_ind]
+            overlaps[box_ind, :] = -1
+            overlaps[:, gt_ind] = -1
+        gt_overlaps.append(_gt_overlaps)
+
+    gt_overlaps = np.sort(np.concatenate(gt_overlaps)) if gt_overlaps else np.zeros(0, np.float32)
+    if thresholds is None:
+        thresholds = np.arange(0.5, 0.95 + 1e-5, 0.05, dtype=np.float32)
+    recalls = (
+        np.array([(gt_overlaps >= t).sum() / float(num_pos) for t in thresholds])
+        if num_pos > 0
+        else np.full(len(thresholds), np.nan)
+    )
+    return {
+        "ar": recalls.mean(),
+        "recalls": recalls,
+        "thresholds": thresholds,
+        "gt_overlaps": gt_overlaps,
+        "num_pos": num_pos,
+    }
 
 
 def _evaluate_predictions_on_coco(

@@ -145,3 +145,115 @@ def test_rle_roundtrip():
 
     counts = [0, 5, 3, 100, 2, 17]
     np.testing.assert_array_equal(decode_counts(encode_counts(counts)), counts)
+
+
+# ---------------------------------------------------------------------------
+# Box-proposal AR evaluation (reference coco_evaluation.py:456-560)
+# ---------------------------------------------------------------------------
+
+
+def test_box_proposals_analytic_ar():
+    """One gt matched at IoU 1.0, one at 0.6 -> AR = (3*1 + 7*0.5)/10."""
+    from detectron2_tpu.evaluation.coco_evaluation import _evaluate_box_proposals
+
+    gt = make_gt(num_images=1, boxes_per_image=2)
+    # gt boxes (XYXY): [10,10,30,30] and [40,10,60,30]
+    # proposal 0: exact match of gt0 (IoU 1.0)
+    # proposal 1: gt1 shifted right by 5 -> inter 15*20, union 25*20 -> IoU 0.6
+    preds = [
+        {
+            "image_id": 0,
+            "proposals": {
+                "boxes": np.array([[10, 10, 30, 30], [45, 10, 65, 30]], np.float64),
+                "objectness_logits": np.array([2.0, 1.0], np.float32),
+            },
+        }
+    ]
+    stats = _evaluate_box_proposals(preds, gt, area="all", limit=100)
+    assert stats["num_pos"] == 2
+    assert stats["ar"] == pytest.approx((3 * 1.0 + 7 * 0.5) / 10, abs=1e-6)
+
+
+def test_box_proposals_greedy_assignment():
+    """A single proposal covering two gts is consumed by the better one."""
+    from detectron2_tpu.evaluation.coco_evaluation import _evaluate_box_proposals
+
+    gt = make_gt(num_images=1, boxes_per_image=2)
+    preds = [
+        {
+            "image_id": 0,
+            "proposals": {
+                # overlaps gt0 at IoU 1.0 and gt1 at some lower IoU; only one
+                # gt may claim it, the other gets overlap 0 after removal
+                "boxes": np.array([[10, 10, 30, 30]], np.float64),
+                "objectness_logits": np.array([1.0], np.float32),
+            },
+        }
+    ]
+    stats = _evaluate_box_proposals(preds, gt, area="all", limit=100)
+    # one gt recalled at every threshold, the other never
+    assert stats["ar"] == pytest.approx(0.5, abs=1e-6)
+    assert (stats["gt_overlaps"] == np.array([0.0, 1.0])).all()
+
+
+def test_box_proposals_limit_and_sorting():
+    """Low-scoring exact match beyond the limit must not count; sorting is by
+    objectness, not input order."""
+    from detectron2_tpu.evaluation.coco_evaluation import _evaluate_box_proposals
+
+    gt = make_gt(num_images=1, boxes_per_image=1)
+    junk = np.tile(np.array([[70.0, 70.0, 80.0, 80.0]]), (1, 1))
+    boxes = np.concatenate([junk, np.array([[10.0, 10.0, 30.0, 30.0]])], axis=0)
+    # exact match listed LAST but with the highest logit -> survives limit=1
+    preds = [
+        {
+            "image_id": 0,
+            "proposals": {
+                "boxes": boxes,
+                "objectness_logits": np.array([1.0, 5.0], np.float32),
+            },
+        }
+    ]
+    stats = _evaluate_box_proposals(preds, gt, area="all", limit=1)
+    assert stats["ar"] == pytest.approx(1.0, abs=1e-6)
+    # now give the junk the higher logit -> the match is cut by the limit
+    preds[0]["proposals"]["objectness_logits"] = np.array([5.0, 1.0], np.float32)
+    stats = _evaluate_box_proposals(preds, gt, area="all", limit=1)
+    assert stats["ar"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_coco_evaluator_proposals_e2e(tmp_path):
+    """COCOEvaluator dispatches ProposalNetwork-style padded outputs to the
+    AR path end to end (reference coco_evaluation.py:172-173,286-322)."""
+    import json as _json
+
+    from detectron2_tpu.data.catalog import MetadataCatalog
+    from detectron2_tpu.evaluation.coco_evaluation import COCOEvaluator
+
+    gt = make_gt(num_images=1, boxes_per_image=2)
+    json_file = tmp_path / "gt.json"
+    json_file.write_text(_json.dumps(gt.dataset))
+    name = "proposal_eval_test_dataset"
+    MetadataCatalog.get(name).set(json_file=str(json_file))
+
+    ev = COCOEvaluator(name, distributed=False, output_dir=str(tmp_path))
+    ev.reset()
+    # network frame is 2x the original 100x100 image -> boxes scaled back down
+    inputs = {
+        "metadata": [{"image_id": 0, "height": 100, "width": 100}],
+        "image_sizes": np.array([[200, 200]]),
+    }
+    outputs = {
+        "proposal_boxes": np.array([[[20, 20, 60, 60], [80, 20, 120, 60], [0, 0, 0, 0]]], np.float32),
+        "proposal_logits": np.array([[3.0, 2.0, -1.0]], np.float32),
+        "valid": np.array([[True, True, False]]),
+    }
+    ev.process(inputs, outputs)
+    res = ev.evaluate()
+    assert "box_proposals" in res
+    # both gts recalled exactly at IoU 1.0 at every threshold and every limit
+    assert res["box_proposals"]["AR@100"] == pytest.approx(100.0, abs=1e-4)
+    assert res["box_proposals"]["AR@1000"] == pytest.approx(100.0, abs=1e-4)
+    # small-area range has no gts (area 400 >= 32^2? 400 < 1024 -> small)
+    assert res["box_proposals"]["ARs@100"] == pytest.approx(100.0, abs=1e-4)
+    assert (tmp_path / "box_proposals.pkl").exists()
