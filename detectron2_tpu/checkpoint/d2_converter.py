@@ -74,11 +74,18 @@ def flax_path_to_d2_name(path: Tuple[str, ...]) -> str:
             segs.append("rpn_head")
             prev = seg
             continue
-        m = re.fullmatch(r"(cls_subnet|bbox_subnet)(\d+)", seg)
+        m = re.fullmatch(r"(cls_subnet|bbox_subnet|mask_subnet)(\d+)", seg)
         if m:
             # d2 builds the subnets as Sequential(conv, relu, conv, relu, ...):
-            # our conv i sits at Sequential index 2*i
+            # our conv i sits at Sequential index 2*i (mask_subnet is
+            # TensorMask's third tower, arch.py:811-820)
             segs.extend([m.group(1), str(2 * int(m.group(2)))])
+            prev = seg
+            continue
+        if seg == "mask_fuse":
+            # TensorMask bipyramid fuse is Sequential(conv, relu)
+            # (arch.py:839-844); our single fuse conv is its index 0
+            segs.extend(["mask_fuse", "0"])
             prev = seg
             continue
         m = re.fullmatch(r"blocks_(\d+)", seg)

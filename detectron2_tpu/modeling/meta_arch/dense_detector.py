@@ -70,17 +70,11 @@ def decode_dense_predictions_padded(
     classes = jnp.concatenate(all_classes, axis=1)
 
     def per_image(s, b, c, hw):
-        h = hw[0].astype(b.dtype)
-        w = hw[1].astype(b.dtype)
-        b = jnp.stack(
-            [
-                jnp.clip(b[:, 0], 0, w),
-                jnp.clip(b[:, 1], 0, h),
-                jnp.clip(b[:, 2], 0, w),
-                jnp.clip(b[:, 3], 0, h),
-            ],
-            axis=-1,
-        )
+        # NO box clipping here: the reference's dense decode
+        # (dense_detector.py:206-238) runs NMS on the raw decoded boxes and
+        # clips only in detector_postprocess; clipping first would change
+        # NMS IoU for boxes extending past the image edge.
+        del hw
         valid = jnp.isfinite(s)
         keep = batched_nms_padded(b, s, c, nms_thresh, valid=valid)
         final = jnp.where(keep, s, -jnp.inf)

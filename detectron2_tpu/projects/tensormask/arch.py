@@ -178,8 +178,16 @@ class TensorMaskHead(nn.Module):
                 up_feats = []
                 for lvl, f in enumerate(feats):
                     if lvl > 0:
+                        # the reference upsamples by EXACTLY 2^lvl then crops
+                        # to the finest map (arch.py:895-901: interpolate
+                        # scale_factor=lambda, then [:, :, :H, :W]) — resizing
+                        # straight to (H0, W0) would shift sample positions
+                        # whenever ceil-rounded Hl * 2^lvl != H0
                         B_, Hl, Wl, C_ = f.shape
-                        f = jax.image.resize(f, (B_, H0, W0, C_), method="bilinear")
+                        lam = 2**lvl
+                        f = jax.image.resize(
+                            f, (B_, Hl * lam, Wl * lam, C_), method="bilinear"
+                        )[:, :H0, :W0, :]
                     up_feats.append(fuse(f + hi, train=train))
                 feats = up_feats
 
@@ -414,17 +422,9 @@ class TensorMask(nn.Module):
             cls = (top_idx % K).astype(jnp.int32)
             site = top_idx // K  # [n_cand] anchor index
             boxes = tf.apply_deltas(deltas_i[site], anchors[site])
-            h = hw[0].astype(boxes.dtype)
-            w = hw[1].astype(boxes.dtype)
-            boxes = jnp.stack(
-                [
-                    jnp.clip(boxes[:, 0], 0, w),
-                    jnp.clip(boxes[:, 1], 0, h),
-                    jnp.clip(boxes[:, 2], 0, w),
-                    jnp.clip(boxes[:, 3], 0, h),
-                ],
-                axis=-1,
-            )
+            # no pre-NMS clipping (reference arch.py:716-721 runs NMS on the
+            # raw decoded boxes; detector_postprocess clips afterwards)
+            del hw
             valid = jnp.isfinite(top_p)
             keep = batched_nms_padded(boxes, top_p, cls, self.nms_threshold, valid=valid)
             scores = jnp.where(keep, top_p, -jnp.inf)

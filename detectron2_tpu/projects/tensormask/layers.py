@@ -32,10 +32,12 @@ def swap_align2nat(
     Args:
         x: [N, H, W, V*U] aligned mask predictions (NHWC; the reference is
             NCHW [N, V*U, H, W]).
-        lambda_val: unit-length ratio λ >= 1; H, W must divide by it.
+        lambda_val: unit-length ratio λ >= 1.
         vu_shape: (V, U); defaults to a square window V = U = sqrt(C).
     Returns:
-        [N, H/λ, W/λ, (V*λ)*(U*λ)] natural mask predictions.
+        [N, ceil(H/λ), ceil(W/λ), (V*λ)*(U*λ)] natural mask predictions
+        (ceil matches the reference kernel wrapper,
+        SwapAlign2Nat_cuda.cu:427-428).
     """
     N, H, W, C = x.shape
     if vu_shape is None:
@@ -44,8 +46,7 @@ def swap_align2nat(
         V, U = vu_shape
     assert V * U == C, (V, U, C)
     lam = int(lambda_val)
-    assert H % lam == 0 and W % lam == 0, (H, W, lam)
-    Vo, Uo, Ho, Wo = V * lam, U * lam, H // lam, W // lam
+    Vo, Uo, Ho, Wo = V * lam, U * lam, -(-H // lam), -(-W // lam)
 
     xg = x.reshape(N, H, W, V, U)
 

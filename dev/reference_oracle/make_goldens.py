@@ -1833,3 +1833,188 @@ def golden_hrfpn_backbone():
         weight_shapes=np.array(shapes),
         **{f"feat_{k}": t2n(v) for k, v in feats.items()},
     )
+
+
+def _install_tensormask_C_stub():
+    """Faithful CPU implementation of the reference TensorMask CUDA op
+    swap_align2nat (SwapAlign2Nat_cuda.cu:54-248,405-463): quadrilinear
+    sampling over (y, x, v, u) with pad_val outside bounds. Registered as
+    ``tensormask._C`` so the reference project imports cleanly on this box."""
+    import types
+
+    def swap_align2nat_forward(X, lambda_val, pad_val):
+        N, C, Hin, Win = X.shape
+        V = U = int(round(C ** 0.5))
+        assert V * U == C, (V, U, C)
+        lam = int(lambda_val)
+        Vo, Uo = V * lam, U * lam
+        Ho, Wo = -(-Hin // lam), -(-Win // lam)
+        x = X.detach().numpy().astype(np.float64).reshape(N, V, U, Hin, Win)
+
+        v = np.arange(Vo, dtype=np.float64)
+        u = np.arange(Uo, dtype=np.float64)
+        yy = np.arange(Ho, dtype=np.float64)
+        xx = np.arange(Wo, dtype=np.float64)
+        oy = yy[None, :] * lam + v[:, None] - Vo / 2.0 + 0.5  # [Vo, Ho]
+        ox = xx[None, :] * lam + u[:, None] - Uo / 2.0 + 0.5  # [Uo, Wo]
+        ov = (v + 0.5) / lam - 0.5  # [Vo]
+        ou = (u + 0.5) / lam - 0.5  # [Uo]
+
+        def taps(c):
+            f = np.floor(c)
+            wc = c - f
+            return f.astype(np.int64), f.astype(np.int64) + 1, 1.0 - wc, wc
+
+        oyf, oyc, oywf, oywc = taps(oy)
+        oxf, oxc, oxwf, oxwc = taps(ox)
+        ovf, ovc, ovwf, ovwc = taps(ov)
+        ouf, ouc, ouwf, ouwc = taps(ou)
+
+        out = np.zeros((N, Vo, Uo, Ho, Wo), np.float64)
+        for yi, yw in ((oyf, oywf), (oyc, oywc)):
+            for xi, xw in ((oxf, oxwf), (oxc, oxwc)):
+                for vi, vw in ((ovf, ovwf), (ovc, ovwc)):
+                    for ui, uw in ((ouf, ouwf), (ouc, ouwc)):
+                        ok = (
+                            ((yi >= 0) & (yi < Hin))[:, None, :, None]
+                            & ((xi >= 0) & (xi < Win))[None, :, None, :]
+                            & ((vi >= 0) & (vi < V))[:, None, None, None]
+                            & ((ui >= 0) & (ui < U))[None, :, None, None]
+                        )  # [Vo, Uo, Ho, Wo]
+                        yb = np.clip(yi, 0, Hin - 1)[:, None, :, None]
+                        xb = np.clip(xi, 0, Win - 1)[None, :, None, :]
+                        vb = np.clip(vi, 0, V - 1)[:, None, None, None]
+                        ub = np.clip(ui, 0, U - 1)[None, :, None, None]
+                        yb, xb, vb, ub = np.broadcast_arrays(yb, xb, vb, ub)
+                        vals = x[:, vb, ub, yb, xb]  # [N, Vo, Uo, Ho, Wo]
+                        vals = np.where(ok[None], vals, float(pad_val))
+                        w = (
+                            yw[:, None, :, None]
+                            * xw[None, :, None, :]
+                            * vw[:, None, None, None]
+                            * uw[None, :, None, None]
+                        )
+                        out += w[None] * vals
+        return torch.from_numpy(out.reshape(N, Vo * Uo, Ho, Wo).astype(np.float32))
+
+    mod = types.ModuleType("tensormask._C")
+    mod.swap_align2nat_forward = swap_align2nat_forward
+    mod.swap_align2nat_backward = None  # inference-only oracle
+    sys.modules["tensormask._C"] = mod
+
+
+def golden_e2e_tensormask():
+    """TensorMask bipyramid e2e golden (reference projects/TensorMask): pins
+    the three head towers + per-mask-size predictors + bipyramid fuse +
+    swap_align2nat through our converter. Saves raw per-level head maps
+    (deterministic), final detections, and the kept detections' native-size
+    sigmoid mask windows."""
+    _install_tensormask_C_stub()
+    sys.path.insert(0, "/root/reference/projects/TensorMask")
+    from detectron2.config import get_cfg
+    from detectron2.modeling import build_model
+    from tensormask import add_tensormask_config  # noqa
+
+    cfg = get_cfg()
+    add_tensormask_config(cfg)
+    cfg.MODEL.DEVICE = "cpu"
+    cfg.MODEL.META_ARCHITECTURE = "TensorMask"
+    cfg.MODEL.MASK_ON = True
+    cfg.MODEL.BACKBONE.NAME = "build_retinanet_resnet_fpn_backbone"
+    cfg.MODEL.RESNETS.DEPTH = 18
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 64
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.FPN.IN_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.FPN.OUT_CHANNELS = 64
+    cfg.MODEL.FPN.FUSE_TYPE = "avg"
+    cfg.MODEL.ANCHOR_GENERATOR.SIZES = [
+        [16, 24], [32, 48], [64, 96], [128, 192], [256, 384], [512, 768]
+    ]
+    cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS = [[1.0]]
+    cfg.MODEL.TENSOR_MASK.IN_FEATURES = ["p2", "p3", "p4", "p5", "p6", "p7"]
+    cfg.MODEL.TENSOR_MASK.NUM_CLASSES = 7
+    cfg.MODEL.TENSOR_MASK.NUM_CONVS = 2
+    cfg.MODEL.TENSOR_MASK.CLS_CHANNELS = 32
+    cfg.MODEL.TENSOR_MASK.BBOX_CHANNELS = 32
+    cfg.MODEL.TENSOR_MASK.MASK_CHANNELS = 32
+    cfg.MODEL.TENSOR_MASK.ALIGNED_ON = True
+    cfg.MODEL.TENSOR_MASK.BIPYRAMID_ON = True
+    cfg.MODEL.TENSOR_MASK.SCORE_THRESH_TEST = 0.05
+    cfg.MODEL.TENSOR_MASK.TOPK_CANDIDATES_TEST = 500
+    cfg.TEST.DETECTIONS_PER_IMAGE = 25
+
+    model = build_model(cfg)
+    model.eval()
+
+    sd = model.state_dict()
+    names, shapes = [], []
+    new_sd = {}
+    for k, v in sd.items():
+        if k.endswith("num_batches_tracked") or "cell_anchors" in k or "pixel_" in k:
+            new_sd[k] = v
+            continue
+        arr = synth_weight_value(k, tuple(v.shape))
+        new_sd[k] = torch.from_numpy(arr)
+        names.append(k)
+        shapes.append(",".join(map(str, v.shape)))
+    model.load_state_dict(new_sd)
+
+    rng = np.random.RandomState(2024)
+    img = _structured_image(rng, 320, 320)
+    inp = {
+        "image": torch.from_numpy(img.transpose(2, 0, 1)).float(),
+        "height": 320,
+        "width": 320,
+    }
+
+    inter = {}
+    with torch.no_grad():
+        images = model.preprocess_image([inp])
+        feats = model.backbone(images.tensor)
+        feats_l = [feats[f] for f in model.in_features]
+        pred_logits, pred_deltas, pred_masks = model.head(feats_l)
+        for i, f in enumerate(model.in_features):
+            inter[f"logits_{f}"] = t2n(pred_logits[i])
+            inter[f"deltas_{f}"] = t2n(pred_deltas[i])
+        # mask windows for the two finest + one coarse level (keep npz lean)
+        for lvl in (0, 1, 4):
+            for anc in range(len(model.mask_sizes)):
+                inter[f"mask_l{lvl}_a{anc}"] = t2n(pred_masks[lvl][anc])
+
+        anchors, _, indexes = model.anchor_generator(feats_l)
+        results, (result_masks, _) = model.inference_single_image(
+            _tm_permute(pred_logits, model.num_classes)[0],
+            _tm_permute(pred_deltas, 4)[0],
+            [[mla[0] for mla in ml] for ml in pred_masks],
+            _tm_cat_boxes(anchors[0]),
+            torch.cat(indexes[0]),
+            tuple(images.image_sizes[0]),
+        )
+
+    masks_flat = np.concatenate([t2n(m).reshape(-1) for m in result_masks]) if result_masks else np.zeros(0, np.float32)
+    masks_sizes = np.array([m.shape[-1] for m in result_masks], np.int64)
+    save(
+        "e2e_tensormask_r18",
+        image=img,
+        weight_names=np.array(names),
+        weight_shapes=np.array(shapes),
+        out_boxes=t2n(results.pred_boxes.tensor),
+        out_scores=t2n(results.scores),
+        out_classes=t2n(results.pred_classes),
+        out_mask_windows=masks_flat,
+        out_mask_sizes=masks_sizes,
+        **inter,
+    )
+
+
+def _tm_permute(preds, K):
+    from tensormask.arch import permute_to_N_HWA_K
+    import torch as _torch
+
+    return _torch.cat([permute_to_N_HWA_K(x, K) for x in preds], dim=1)
+
+
+def _tm_cat_boxes(boxes_list):
+    from detectron2.structures import Boxes
+
+    return Boxes.cat(boxes_list)

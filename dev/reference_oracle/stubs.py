@@ -398,6 +398,21 @@ def install():
     fv_nn.giou_loss = _giou_loss
     fv_nn.sigmoid_focal_loss_jit = _sigmoid_focal_loss
     fv_nn.sigmoid_focal_loss = _sigmoid_focal_loss
+
+    def _sigmoid_focal_loss_star(inputs, targets, alpha=-1, gamma=1, reduction="none"):
+        # fvcore focal loss* (documented formula): -log_sigmoid(gamma * (2t-1) * x) / gamma
+        shifted = gamma * (inputs * (2 * targets - 1))
+        loss = torch.nn.functional.softplus(-shifted) / gamma
+        if alpha >= 0:
+            loss = loss * (alpha * targets + (1 - alpha) * (1 - targets))
+        if reduction == "mean":
+            return loss.mean()
+        if reduction == "sum":
+            return loss.sum()
+        return loss
+
+    fv_nn.sigmoid_focal_loss_star = _sigmoid_focal_loss_star
+    fv_nn.sigmoid_focal_loss_star_jit = _sigmoid_focal_loss_star
     fv_dist.differentiable_all_reduce = lambda t: t
     fv_cfg.CfgNode = CfgNode
     fv_reg.Registry = Registry

@@ -92,10 +92,18 @@ def test_e2e_retinanet_reference_weights(tmp_path):
     # cluster are fp-ordering noise, so an unmatched reference detection is
     # forgiven only when one of OUR extra detections ties its score.
     out = model.apply(variables, batch, train=False)
-    valid = np.asarray(out["valid"][0])
-    scores = np.asarray(out["scores"][0])[valid]
-    boxes = np.asarray(out["pred_boxes"][0])[valid]
-    classes = np.asarray(out["pred_classes"][0])[valid]
+    # the golden's out_* are the reference's POSTPROCESSED instances (boxes
+    # clipped to the image); run our production host postprocess to compare
+    # in the same frame (decode no longer clips pre-NMS, matching the
+    # reference dense_detector.py:206-238)
+    from detectron2_tpu.modeling.postprocessing import detector_postprocess
+
+    inst = detector_postprocess(
+        {k: np.asarray(v)[0] for k, v in out.items()}, 320, 320, 320, 320
+    )
+    scores = np.asarray(inst.scores)
+    boxes = np.asarray(inst.pred_boxes.tensor)
+    classes = np.asarray(inst.pred_classes)
     assert abs(len(scores) - len(g["out_scores"])) <= 1, (len(scores), len(g["out_scores"]))
     taken = np.zeros(len(scores), bool)
     unmatched = []
