@@ -52,6 +52,29 @@ from detectron2_tpu.projects.densepose.evaluation import (
     SmplDistanceProvider,
 )
 from detectron2_tpu.projects.densepose.roi_heads import DensePoseROIHeads
+from detectron2_tpu.projects.densepose.structures import (
+    DensePoseChartResult,
+    DensePoseChartResultQuantized,
+    DensePoseChartResultWithConfidences,
+    DensePoseDataRelative,
+    DensePoseTransformData,
+    compress_quantized_densepose_chart_result,
+    decompress_compressed_densepose_chart_result,
+    quantize_densepose_chart_result,
+)
+from detectron2_tpu.projects.densepose.converters import (
+    ToChartResultConverter,
+    ToChartResultConverterWithConfidences,
+    ToMaskConverter,
+    densepose_chart_predictor_output_to_result,
+    densepose_chart_predictor_output_to_result_with_confidences,
+    predictor_output_with_coarse_segm_to_mask,
+)
+from detectron2_tpu.projects.densepose.dataset_mapper import (
+    DensePoseBatchCollator,
+    DensePoseDatasetMapper,
+    register_densepose_coco,
+)
 
 __all__ = [
     "add_densepose_config",
@@ -77,4 +100,21 @@ __all__ = [
     "DensePoseCOCOEvaluator",
     "MeshDistanceProvider",
     "SmplDistanceProvider",
+    "DensePoseDataRelative",
+    "DensePoseTransformData",
+    "DensePoseChartResult",
+    "DensePoseChartResultWithConfidences",
+    "DensePoseChartResultQuantized",
+    "quantize_densepose_chart_result",
+    "compress_quantized_densepose_chart_result",
+    "decompress_compressed_densepose_chart_result",
+    "ToChartResultConverter",
+    "ToChartResultConverterWithConfidences",
+    "ToMaskConverter",
+    "densepose_chart_predictor_output_to_result",
+    "densepose_chart_predictor_output_to_result_with_confidences",
+    "predictor_output_with_coarse_segm_to_mask",
+    "DensePoseDatasetMapper",
+    "DensePoseBatchCollator",
+    "register_densepose_coco",
 ]

@@ -43,6 +43,9 @@ def add_densepose_config(cfg):
     cfg.MODEL.ROI_DENSEPOSE_HEAD.DEEPLAB.NONLOCAL_ON = 0
 
     # UV confidence modeling (reference config.py add_densepose_head_config:
+    # optional UV-symmetry table pickle for hflip augmentation (the official
+    # UV_symmetry_transforms data; empty = identity UV on flip)
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.UV_SYMMETRY_PATH = ""
     # UV_CONFIDENCE; Neverova et al. NeurIPS 2019)
     cfg.MODEL.ROI_DENSEPOSE_HEAD.UV_CONFIDENCE = CN({"ENABLED": False})
     cfg.MODEL.ROI_DENSEPOSE_HEAD.UV_CONFIDENCE.TYPE = "iid_iso"  # iid_iso | indep_aniso
