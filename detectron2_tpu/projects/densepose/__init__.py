@@ -75,6 +75,14 @@ from detectron2_tpu.projects.densepose.dataset_mapper import (
     DensePoseDatasetMapper,
     register_densepose_coco,
 )
+from detectron2_tpu.projects.densepose.vis import (
+    DensePoseMaskedColormapResultsVisualizer,
+    DensePoseResultExtractor,
+    DensePoseResultsFineSegmentationVisualizer,
+    DensePoseResultsUVisualizer,
+    DensePoseResultsVVisualizer,
+    MatrixVisualizer,
+)
 
 __all__ = [
     "add_densepose_config",
@@ -117,4 +125,10 @@ __all__ = [
     "DensePoseDatasetMapper",
     "DensePoseBatchCollator",
     "register_densepose_coco",
+    "MatrixVisualizer",
+    "DensePoseMaskedColormapResultsVisualizer",
+    "DensePoseResultsFineSegmentationVisualizer",
+    "DensePoseResultsUVisualizer",
+    "DensePoseResultsVVisualizer",
+    "DensePoseResultExtractor",
 ]

@@ -215,3 +215,44 @@ def test_dataset_mapper_padded_points(tmp_path):
     np.testing.assert_allclose(batch["gt_dp_points"][0, 0], pts)
     assert (batch["gt_dp_part"][0, 1:] == -1).all()
     np.testing.assert_allclose(batch["gt_dp_u"][0, 0, :3], [0.1, 0.2, 0.3], atol=1e-6)
+
+
+def test_densepose_visualizers_draw():
+    """Extractor + fine-seg/U/V visualizers run end to end and modify only
+    the box region (reference vis/densepose_results.py:310-342)."""
+    from detectron2_tpu.projects.densepose.vis import (
+        DensePoseResultExtractor,
+        DensePoseResultsFineSegmentationVisualizer,
+        DensePoseResultsUVisualizer,
+        DensePoseResultsVVisualizer,
+    )
+    from detectron2_tpu.structures import Boxes, Instances
+
+    S = 4
+    coarse = np.zeros((S, S, 2), np.float32)
+    coarse[..., 1] = 1.0
+    fine = np.zeros((S, S, 3), np.float32)
+    fine[..., 2] = 1.0
+    u = np.full((S, S, 3), 0.5, np.float32)
+    v = np.full((S, S, 3), 0.25, np.float32)
+    inst = Instances((40, 40))
+    inst.pred_boxes = Boxes(np.array([[8.0, 4.0, 24.0, 20.0]], np.float32))
+    inst.scores = np.array([0.9], np.float32)
+    inst.pred_densepose = [{"coarse_segm": coarse, "fine_segm": fine, "u": u, "v": v}]
+
+    outputs = DensePoseResultExtractor()(inst)
+    assert outputs[0] is not None and len(outputs[0]) == 1
+    np.testing.assert_allclose(outputs[1][0], [8, 4, 16, 16])
+
+    for vis_cls in (
+        DensePoseResultsFineSegmentationVisualizer,
+        DensePoseResultsUVisualizer,
+        DensePoseResultsVVisualizer,
+    ):
+        img = np.full((40, 40, 3), 100, np.uint8)
+        out = vis_cls(alpha=1.0).visualize(img, outputs)
+        assert out.shape == (40, 40, 3)
+        inside = out[4:20, 8:24]
+        outside_unchanged = (np.delete(out.reshape(-1, 3), 0, 0) is not None)
+        assert (out[:4] == 100).all() and (out[20:] == 100).all()
+        assert not (inside == 100).all(), vis_cls.__name__
