@@ -188,9 +188,32 @@ class DensePoseResultExtractor:
             boxes_xyxy = boxes_xyxy[select]
             boxes_xywh = boxes_xywh[select]
         results = [
-            densepose_chart_predictor_output_to_result_with_confidences(
-                dpout[i], boxes_xyxy[i]
-            )
+            self._one_result(dpout[i], boxes_xyxy[i], boxes_xywh[i])
             for i in range(len(dpout))
         ]
         return results, boxes_xywh
+
+    @staticmethod
+    def _one_result(dp, box_xyxy, box_xywh):
+        if isinstance(dp, dict):
+            # raw predictor maps {coarse_segm, fine_segm, u, v, ...}
+            return densepose_chart_predictor_output_to_result_with_confidences(dp, box_xyxy)
+        # the compiled model's [M, M, 3] IUV stack (part, u, v) — resize to
+        # box size: nearest for labels, bilinear for uv
+        import cv2
+
+        dp = np.asarray(dp, np.float32)
+        w = max(int(box_xywh[2]), 1)
+        h = max(int(box_xywh[3]), 1)
+        labels = cv2.resize(dp[..., 0], (w, h), interpolation=cv2.INTER_NEAREST).astype(np.int64)
+        uv = np.stack(
+            [
+                cv2.resize(dp[..., 1], (w, h), interpolation=cv2.INTER_LINEAR),
+                cv2.resize(dp[..., 2], (w, h), interpolation=cv2.INTER_LINEAR),
+            ]
+        )
+        from detectron2_tpu.projects.densepose.structures import (
+            DensePoseChartResultWithConfidences,
+        )
+
+        return DensePoseChartResultWithConfidences(labels=labels, uv=uv)

@@ -256,3 +256,23 @@ def test_densepose_visualizers_draw():
         outside_unchanged = (np.delete(out.reshape(-1, 3), 0, 0) is not None)
         assert (out[:4] == 100).all() and (out[20:] == 100).all()
         assert not (inside == 100).all(), vis_cls.__name__
+
+
+def test_extractor_handles_iuv_stack():
+    """The compiled model's [M, M, 3] IUV output format is also accepted."""
+    from detectron2_tpu.projects.densepose.vis import DensePoseResultExtractor
+    from detectron2_tpu.structures import Boxes, Instances
+
+    M = 4
+    iuv = np.zeros((M, M, 3), np.float32)
+    iuv[..., 0] = 7
+    iuv[..., 1] = 0.5
+    iuv[..., 2] = 0.25
+    inst = Instances((30, 30))
+    inst.pred_boxes = Boxes(np.array([[5.0, 5.0, 15.0, 13.0]], np.float32))
+    inst.pred_densepose = iuv[None]
+    results, boxes_xywh = DensePoseResultExtractor()(inst)
+    assert results[0].labels.shape == (8, 10)
+    assert (results[0].labels == 7).all()
+    np.testing.assert_allclose(results[0].uv[0], 0.5, atol=1e-6)
+    np.testing.assert_allclose(boxes_xywh[0], [5, 5, 10, 8])
