@@ -66,6 +66,7 @@ from detectron2_tpu.projects.densepose.converters import (
     ToChartResultConverter,
     ToChartResultConverterWithConfidences,
     ToMaskConverter,
+    densepose_chart_predictor_output_hflip,
     densepose_chart_predictor_output_to_result,
     densepose_chart_predictor_output_to_result_with_confidences,
     predictor_output_with_coarse_segm_to_mask,
@@ -119,6 +120,7 @@ __all__ = [
     "ToChartResultConverter",
     "ToChartResultConverterWithConfidences",
     "ToMaskConverter",
+    "densepose_chart_predictor_output_hflip",
     "densepose_chart_predictor_output_to_result",
     "densepose_chart_predictor_output_to_result_with_confidences",
     "predictor_output_with_coarse_segm_to_mask",

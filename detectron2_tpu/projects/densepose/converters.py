@@ -185,3 +185,36 @@ class ToMaskConverter:
     def convert(coarse_segm: np.ndarray, boxes, image_size_hw) -> BitMasks:
         b = boxes.tensor if isinstance(boxes, Boxes) else np.asarray(boxes)
         return predictor_output_with_coarse_segm_to_mask(coarse_segm, b, image_size_hw)
+
+
+def densepose_chart_predictor_output_hflip(
+    output: Dict[str, np.ndarray], transform_data
+) -> Dict[str, np.ndarray]:
+    """Flip one detection's chart maps for horizontal-flip TTA
+    (reference converters/chart_output_hflip.py): mirror the W axis, remap
+    U/V values through the UV symmetry tables, and permute the part
+    channels (fine_segm/u/v by point label symmetry; coarse_segm by mask
+    label symmetry when it has the 15-channel body-part layout).
+
+    Maps are [H, W, C] (channel-last); confidence channels flip spatially
+    only.
+    """
+    out = {k: np.asarray(v, np.float32)[:, ::-1].copy() for k, v in output.items()}
+
+    pt_sym = transform_data.point_label_symmetries
+    uv_sym = transform_data.uv_symmetries
+    if uv_sym is not None and "u" in out:
+        u = out["u"]
+        v = out["v"]
+        H, W, C = u.shape
+        u_loc = (np.clip(u[..., 1:], 0, 1) * 255).astype(np.int64)
+        v_loc = (np.clip(v[..., 1:], 0, 1) * 255).astype(np.int64)
+        idx = np.arange(C - 1)[None, None, :]
+        out["u"][..., 1:] = uv_sym["U_transforms"][idx, v_loc, u_loc]
+        out["v"][..., 1:] = uv_sym["V_transforms"][idx, v_loc, u_loc]
+    for k in ("fine_segm", "u", "v"):
+        if k in out:
+            out[k] = out[k][..., pt_sym]
+    if "coarse_segm" in out and out["coarse_segm"].shape[-1] > 2:
+        out["coarse_segm"] = out["coarse_segm"][..., transform_data.mask_label_symmetries]
+    return out

@@ -276,3 +276,29 @@ def test_extractor_handles_iuv_stack():
     assert (results[0].labels == 7).all()
     np.testing.assert_allclose(results[0].uv[0], 0.5, atol=1e-6)
     np.testing.assert_allclose(boxes_xywh[0], [5, 5, 10, 8])
+
+
+def test_chart_output_hflip_involution():
+    """Flip twice with identity UV tables restores the maps; part channels
+    are swapped per the point label symmetry on one flip."""
+    from detectron2_tpu.projects.densepose.converters import (
+        densepose_chart_predictor_output_hflip,
+    )
+
+    rng = np.random.RandomState(5)
+    H = W = 4
+    C = 25
+    out = {
+        "coarse_segm": rng.rand(H, W, 2).astype(np.float32),
+        "fine_segm": rng.rand(H, W, C).astype(np.float32),
+        "u": rng.rand(H, W, C).astype(np.float32),
+        "v": rng.rand(H, W, C).astype(np.float32),
+    }
+    tdata = DensePoseTransformData()  # identity UV
+    f1 = densepose_chart_predictor_output_hflip(out, tdata)
+    sym = tdata.point_label_symmetries
+    np.testing.assert_allclose(f1["fine_segm"], out["fine_segm"][:, ::-1][..., sym])
+    np.testing.assert_allclose(f1["coarse_segm"], out["coarse_segm"][:, ::-1])
+    f2 = densepose_chart_predictor_output_hflip(f1, tdata)
+    for k in out:
+        np.testing.assert_allclose(f2[k], out[k], atol=1e-6)
