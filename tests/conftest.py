@@ -42,3 +42,29 @@ def _clear_jax_caches_between_modules():
 
     jax.clear_caches()
     gc.collect()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: full-model compiles (e2e / parity / project tests); "
+        "deselect with -m 'not slow' for a fast unit tier (~5 min)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Auto-mark the compile-heavy tiers: everything under tests/parity/ and
+    tests/projects/, plus e2e/TTA/ViTDet model tests. The remaining fast
+    tier (structures/ops/data/config/engine units) runs in a few minutes."""
+    slow_dirs = (f"tests{os.sep}parity", f"tests{os.sep}projects")
+    slow_files = (
+        "test_rcnn_e2e.py",
+        "test_meta_archs.py",
+        "test_vitdet.py",
+        "test_tta.py",
+        "test_roi_align_pallas_bwd.py",
+    )
+    for item in items:
+        p = str(item.fspath)
+        if any(d in p for d in slow_dirs) or any(p.endswith(f) for f in slow_files):
+            item.add_marker(pytest.mark.slow)
