@@ -321,6 +321,13 @@ _C.TPU = CN()
 _C.TPU.MESH_DATA = -1
 # Model (tensor) parallel axis size for large backbones. 1 = off.
 _C.TPU.MESH_MODEL = 1
+# Parameter/optimizer-state layout over the mesh:
+#   "replicated" — DDP-equivalent (params on every chip, gradient psum);
+#   "fsdp"       — ZeRO-3: state sharded over the "data" axis, all-gathered
+#                  on demand (memory scales down with the axis size);
+#   "tensor"     — Megatron-style: large kernels split over the "model" axis.
+# XLA inserts the collectives each layout implies (parallel/sharding.py).
+_C.TPU.PARAM_LAYOUT = "replicated"
 # Compute dtype for conv/matmul towers ("bfloat16" or "float32").
 _C.TPU.COMPUTE_DTYPE = "bfloat16"
 # Padded-shape budgets (fixed shapes are mandatory under XLA):

@@ -37,7 +37,13 @@ from detectron2_tpu.evaluation import (
 )
 from detectron2_tpu.checkpoint import DetectionCheckpointer
 from detectron2_tpu.modeling import build_model
-from detectron2_tpu.parallel import TrainState, create_mesh, make_eval_step, make_train_step, replicate
+from detectron2_tpu.parallel import (
+    TrainState,
+    apply_param_layout,
+    create_mesh,
+    make_eval_step,
+    make_train_step,
+)
 from detectron2_tpu.solver import build_lr_scheduler, build_optimizer
 from detectron2_tpu.utils import comm
 from detectron2_tpu.utils.env import seed_all_rng
@@ -226,8 +232,8 @@ class DefaultTrainer(TrainerBase):
         state = TrainState.create(params, tx)
 
         self.mesh = create_mesh(data=cfg.TPU.MESH_DATA, model=cfg.TPU.MESH_MODEL)
-        state = replicate(state, self.mesh)
-        train_step = make_train_step(model, mesh=self.mesh)
+        state, state_shardings = apply_param_layout(cfg.TPU.PARAM_LAYOUT, state, self.mesh)
+        train_step = make_train_step(model, mesh=self.mesh, state_shardings=state_shardings)
 
         self.model = model
         self._trainer = SimpleTrainer(

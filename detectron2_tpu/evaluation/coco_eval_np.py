@@ -435,7 +435,11 @@ class COCOevalNP:
         else:
             self.stats = np.array(
                 [
-                    self._summarize(1),
+                    # AP at maxDets[2] (not the hardcoded 100 of stock
+                    # pycocotools) so non-default caps summarize correctly —
+                    # the reference needs COCOevalMaxDets for this
+                    # (coco_evaluation.py:634); identical for [1, 10, 100]
+                    self._summarize(1, maxDets=self.params.maxDets[2]),
                     self._summarize(1, iouThr=0.5, maxDets=self.params.maxDets[2]),
                     self._summarize(1, iouThr=0.75, maxDets=self.params.maxDets[2]),
                     self._summarize(1, areaRng="small", maxDets=self.params.maxDets[2]),

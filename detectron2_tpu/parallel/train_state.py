@@ -41,12 +41,18 @@ def make_train_step(
     model,
     mesh: Optional[Mesh] = None,
     donate: bool = True,
+    state_shardings: Optional[Any] = None,
 ) -> Callable:
     """Build the jitted SPMD train step.
 
     Returns step(state, batch, rng) -> (state, loss_dict). When a mesh is
     given, params/opt state are replicated and the batch is sharded over
-    "data"; XLA inserts the gradient all-reduce.
+    "data"; XLA inserts the gradient all-reduce. Pass ``state_shardings``
+    (a TrainState-shaped pytree of NamedShardings from
+    :func:`detectron2_tpu.parallel.tree_shardings`) to instead shard the
+    parameters and optimizer state across the mesh — FSDP/ZeRO over the
+    "data" axis or tensor parallelism over the "model" axis; XLA inserts the
+    all-gathers / reduce-scatters the layout implies.
     """
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray], rng) -> Tuple[TrainState, Dict]:
@@ -80,16 +86,22 @@ def make_train_step(
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
+    state_sh = repl if state_shardings is None else state_shardings
     return jax.jit(
         step_fn,
-        in_shardings=(repl, data, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(state_sh, data, repl),
+        out_shardings=(state_sh, repl),
         donate_argnums=(0,) if donate else (),
     )
 
 
-def make_eval_step(model, mesh: Optional[Mesh] = None) -> Callable:
-    """Build the jitted inference step: (params, batch) -> padded detections."""
+def make_eval_step(
+    model, mesh: Optional[Mesh] = None, param_shardings: Optional[Any] = None
+) -> Callable:
+    """Build the jitted inference step: (params, batch) -> padded detections.
+
+    ``param_shardings`` (params-shaped pytree of NamedShardings) runs
+    inference with sharded parameters (FSDP / tensor-parallel layouts)."""
 
     def eval_fn(params, batch):
         return model.apply(params, batch, train=False)
@@ -98,4 +110,5 @@ def make_eval_step(model, mesh: Optional[Mesh] = None) -> Callable:
         return jax.jit(eval_fn)
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
-    return jax.jit(eval_fn, in_shardings=(repl, data), out_shardings=data)
+    params_sh = repl if param_shardings is None else param_shardings
+    return jax.jit(eval_fn, in_shardings=(params_sh, data), out_shardings=data)
