@@ -1,5 +1,5 @@
-"""ViTDet ViT-L Cascade Mask R-CNN (the north-star config 5; analogue of
-reference projects/ViTDet/configs/COCO/cascade_mask_rcnn_vitdet_l_100ep.py)."""
+"""ViTDet ViT-L Cascade Mask R-CNN on LVIS v1 (analogue of reference
+projects/ViTDet/configs/LVIS/cascade_mask_rcnn_vitdet_l_100ep.py)."""
 
 from .cascade_mask_rcnn_vitdet_b_100ep import (  # noqa
     dataloader,
@@ -9,12 +9,10 @@ from .cascade_mask_rcnn_vitdet_b_100ep import (  # noqa
     train,
 )
 
-# ViT-L backbone
 model.backbone.net.embed_dim = 1024
 model.backbone.net.depth = 24
 model.backbone.net.num_heads = 16
 model.backbone.net.drop_path_rate = 0.4
-# global attention in 4 evenly spread blocks (5, 11, 17, 23)
 model.backbone.net.window_block_indexes = tuple(
     i for i in range(24) if i not in (5, 11, 17, 23)
 )
@@ -22,4 +20,4 @@ model.backbone.net.window_block_indexes = tuple(
 optimizer.num_layers = 24
 optimizer.lr_decay_rate = 0.8
 
-train["output_dir"] = "./output/cascade_vitdet_l_100ep"
+train["output_dir"] = "./output/lvis_cascade_vitdet_l_100ep"

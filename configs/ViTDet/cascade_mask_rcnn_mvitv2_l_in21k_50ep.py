@@ -1,0 +1,24 @@
+"""ViTDet Cascade Mask R-CNN MViTv2-L (IN21k), 50-epoch LSJ recipe (analogue
+of reference projects/ViTDet/configs/COCO/cascade_mask_rcnn_mvitv2_l_in21k_50ep.py)."""
+
+from .cascade_mask_rcnn_mvitv2_b_in21k_100ep import (  # noqa
+    dataloader,
+    lr_multiplier,
+    model,
+    optimizer,
+    train,
+)
+
+# MViTv2-L: depth 48, last_block_indexes (1, 7, 43, 47)
+model.backbone.bottom_up.embed_dim = 144
+model.backbone.bottom_up.depths = (2, 6, 36, 4)
+model.backbone.bottom_up.num_heads = (2, 4, 8, 16)
+model.backbone.bottom_up.drop_path_rate = 0.5
+
+# 100ep -> 50ep
+train["max_iter"] = train["max_iter"] // 2
+lr_multiplier.multiplier.scheduler.milestones = [163889 // 2, 177546 // 2]
+lr_multiplier.multiplier.scheduler.num_updates = train["max_iter"]
+lr_multiplier.max_iter = train["max_iter"]
+
+train["output_dir"] = "./output/cascade_mvitv2_l_in21k_50ep"

@@ -2,12 +2,14 @@
 (analogue of reference projects/ViTDet/configs/COCO/mask_rcnn_vitdet_b_100ep.py)."""
 
 from detectron2_tpu.config import LazyCall as L
+from detectron2_tpu.data import transforms as T
 from detectron2_tpu.solver.lr_scheduler import (
     LRMultiplier,
     MultiStepParamScheduler,
     WarmupParamScheduler,
 )
 
+from ..common.data.coco import dataloader
 from ..common.models.mask_rcnn_vitdet import model  # noqa
 
 train = dict(
@@ -59,6 +61,21 @@ def make_optimizer(params, base_lr=1e-4, weight_decay=0.1, lr_decay_rate=0.7, nu
 
 optimizer = L(make_optimizer)(params=None)
 
-dataloader = dict(
-    # filled by the training script (LSJ: ResizeScale(0.1, 2.0) + FixedSizeCrop(1024))
-)
+# LSJ onto a fixed 1024 square (reference projects/ViTDet/configs/common/
+# coco_loader_lsj.py)
+image_size = 1024
+dataloader.train.mapper.augmentations = [
+    L(T.RandomFlip)(horizontal=True),
+    L(T.ResizeScale)(
+        min_scale=0.1, max_scale=2.0, target_height=image_size, target_width=image_size
+    ),
+    L(T.FixedSizeCrop)(crop_size=(image_size, image_size)),
+]
+dataloader.train.mapper.use_instance_mask = True
+dataloader.train.mapper.recompute_boxes = True
+dataloader.train.mapper.image_format = "RGB"
+dataloader.train.total_batch_size = 64
+dataloader.test.mapper.augmentations = [
+    L(T.ResizeShortestEdge)(short_edge_length=image_size, max_size=image_size)
+]
+dataloader.test.mapper.image_format = "RGB"

@@ -17,6 +17,7 @@ model.backbone = L(SimpleFeaturePyramid)(
         qkv_bias=True,
         use_abs_pos=True,
         use_rel_pos=True,
+        drop_path_rate=0.1,
         window_size=14,
         # global attention every 3rd block (ViTDet-B recipe)
         window_block_indexes=(0, 1, 3, 4, 6, 7, 9, 10),

@@ -12,7 +12,7 @@ from detectron2_tpu.layers.batch_norm import (
     SyncBatchNorm,
     get_norm,
 )
-from detectron2_tpu.layers.blocks import CNNBlockBase, DepthwiseSeparableConv2d
+from detectron2_tpu.layers.blocks import CNNBlockBase, DepthwiseSeparableConv2d, DropPath
 from detectron2_tpu.layers.deform_conv import DeformConv, ModulatedDeformConv
 from detectron2_tpu.layers.losses import (
     ciou_loss,

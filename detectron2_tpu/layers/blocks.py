@@ -14,7 +14,25 @@ from flax import linen as nn
 from detectron2_tpu.layers.batch_norm import get_norm
 from detectron2_tpu.layers.wrappers import Conv2d
 
-__all__ = ["CNNBlockBase", "DepthwiseSeparableConv2d"]
+__all__ = ["CNNBlockBase", "DepthwiseSeparableConv2d", "DropPath"]
+
+
+class DropPath(nn.Module):
+    """Stochastic depth: drop a residual branch per SAMPLE with probability
+    ``rate`` at train time, rescaling survivors by 1/keep (the timm
+    ``DropPath`` the reference's ViT/Swin/MViT blocks wrap their residuals
+    in; reference vit.py:288-292). Identity when deterministic or rate=0."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(self.make_rng("dropout"), keep, shape)
+        return jax.numpy.where(mask, x / keep, 0.0).astype(x.dtype)
 
 
 class CNNBlockBase(nn.Module):

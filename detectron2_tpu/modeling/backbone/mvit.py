@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from detectron2_tpu.layers.batch_norm import LayerNorm
+from detectron2_tpu.layers.blocks import DropPath
 from detectron2_tpu.layers.shape_spec import ShapeSpec
 from detectron2_tpu.modeling.backbone.backbone import Backbone
 from detectron2_tpu.modeling.backbone.vit import (
@@ -142,9 +143,11 @@ class MultiScaleBlock(nn.Module):
     window_size: int = 0
     use_rel_pos: bool = False
     input_size: Tuple[int, int] = (56, 56)
+    drop_path: float = 0.0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
+        drop_path = DropPath(self.drop_path, name="drop_path")
         x_norm = LayerNorm(self.dim, eps=1e-5, name="norm1")(x)
         x_block = MultiScaleAttention(
             dim=self.dim,
@@ -170,12 +173,12 @@ class MultiScaleBlock(nn.Module):
                 x, (k, k), strides=(self.stride_q, self.stride_q), padding=[(p, p)] * 2
             )
 
-        x = x + x_block
+        x = x + drop_path(x_block, deterministic=not train)
         y = LayerNorm(self.dim_out, eps=1e-5, name="norm2")(x)
         y = nn.Dense(int(self.dim_out * self.mlp_ratio), dtype=x.dtype, name="mlp_fc1")(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim_out, name="mlp_fc2", dtype=x.dtype)(y)
-        return x + y
+        return x + drop_path(y, deterministic=not train)
 
 
 class MViT(Backbone):
@@ -204,6 +207,8 @@ class MViT(Backbone):
     pretrain_img_size: int = 224
     pretrain_use_cls_token: bool = True
     out_features: Tuple[str, ...] = ("scale2", "scale3", "scale4", "scale5")
+    drop_path_rate: float = 0.0
+    use_checkpoint: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
@@ -251,7 +256,11 @@ class MViT(Backbone):
             # stages end with a global-attention block (reference :366-374)
             stride_kv_ = stride_kv * 2 if i in last_block_indexes[1:3] else stride_kv
             window_size_ = 0 if i in last_block_indexes[1:] else window_size
-            x = MultiScaleBlock(
+            block_fn = MultiScaleBlock
+            if self.use_checkpoint:
+                # train flag (arg 2, after self) must be static under remat
+                block_fn = nn.checkpoint(MultiScaleBlock, static_argnums=(2,))
+            x = block_fn(
                 dim=dim,
                 dim_out=dim_out,
                 num_heads=self.num_heads[stage_idx],
@@ -264,8 +273,9 @@ class MViT(Backbone):
                 window_size=window_size_,
                 use_rel_pos=self.use_rel_pos,
                 input_size=input_size,
+                drop_path=self.drop_path_rate * i / max(sum(self.depths) - 1, 1),
                 name=f"blocks_{i}",
-            )(x)
+            )(x, train)
             dim = dim_out
             if i in last_block_indexes:
                 name = f"scale{stage}"

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from detectron2_tpu.layers.batch_norm import LayerNorm
+from detectron2_tpu.layers.blocks import DropPath
 from detectron2_tpu.layers.shape_spec import ShapeSpec
 from detectron2_tpu.modeling.backbone.backbone import Backbone
 from detectron2_tpu.modeling.backbone.vit import window_partition, window_unpartition
@@ -81,10 +82,12 @@ class SwinBlock(nn.Module):
     shift_size: int = 0
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
+    drop_path: float = 0.0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         """x: [B, H, W, C]"""
+        drop_path = DropPath(self.drop_path, name="drop_path")
         B, H, W, C = x.shape
         ws = min(self.window_size, H, W)
         shift = self.shift_size if ws < min(H, W) or self.shift_size < ws else 0
@@ -127,12 +130,12 @@ class SwinBlock(nn.Module):
         if shift > 0:
             x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
 
-        x = shortcut + x
+        x = shortcut + drop_path(x, deterministic=not train)
         y = LayerNorm(self.dim, eps=1e-5, name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=x.dtype, name="mlp_fc1")(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, name="mlp_fc2", dtype=x.dtype)(y)
-        return x + y
+        return x + drop_path(y, deterministic=not train)
 
 
 class PatchMerging(nn.Module):
@@ -169,6 +172,7 @@ class SwinTransformer(Backbone):
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
     out_features: Tuple[str, ...] = ("p0", "p1", "p2", "p3")
+    drop_path_rate: float = 0.0
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
@@ -184,6 +188,8 @@ class SwinTransformer(Backbone):
 
         outs = {}
         dim = self.embed_dim
+        total = sum(self.depths)
+        blk = 0
         for i, depth in enumerate(self.depths):
             for d in range(depth):
                 x = SwinBlock(
@@ -193,8 +199,10 @@ class SwinTransformer(Backbone):
                     shift_size=0 if d % 2 == 0 else self.window_size // 2,
                     mlp_ratio=self.mlp_ratio,
                     qkv_bias=self.qkv_bias,
+                    drop_path=self.drop_path_rate * blk / max(total - 1, 1),
                     name=f"stage{i}_block{d}",
-                )(x)
+                )(x, train)
+                blk += 1
             name = f"p{i}"
             if name in self.out_features:
                 outs[name] = LayerNorm(dim, eps=1e-5, name=f"out_norm{i}")(x)

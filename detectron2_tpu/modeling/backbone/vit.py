@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from detectron2_tpu.layers.batch_norm import LayerNorm, get_norm
+from detectron2_tpu.layers.blocks import DropPath
 from detectron2_tpu.layers.shape_spec import ShapeSpec
 from detectron2_tpu.layers.wrappers import Conv2d, ConvTranspose2d
 from detectron2_tpu.modeling.backbone.backbone import Backbone
@@ -158,9 +159,11 @@ class Block(nn.Module):
     use_rel_pos: bool = False
     input_size: Optional[Tuple[int, int]] = None
     use_residual_block: bool = False
+    drop_path: float = 0.0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
+        drop_path = DropPath(self.drop_path, name="drop_path")
         shortcut = x
         x = LayerNorm(self.dim, eps=1e-5, name="norm1")(x)
         if self.window_size > 0:
@@ -182,9 +185,12 @@ class Block(nn.Module):
         if self.window_size > 0:
             x = window_unpartition(x, self.window_size, pad_hw, (H, W))
 
-        x = shortcut + x
-        x = x + Mlp(int(self.dim * self.mlp_ratio), self.dim, name="mlp")(
-            LayerNorm(self.dim, eps=1e-5, name="norm2")(x)
+        x = shortcut + drop_path(x, deterministic=not train)
+        x = x + drop_path(
+            Mlp(int(self.dim * self.mlp_ratio), self.dim, name="mlp")(
+                LayerNorm(self.dim, eps=1e-5, name="norm2")(x)
+            ),
+            deterministic=not train,
         )
 
         if self.use_residual_block:
@@ -217,6 +223,7 @@ class ViT(Backbone):
     window_size: int = 0
     window_block_indexes: Tuple[int, ...] = ()
     residual_block_indexes: Tuple[int, ...] = ()
+    drop_path_rate: float = 0.0
     pretrain_img_size: int = 224
     pretrain_use_cls_token: bool = True
     out_feature: str = "last_feat"
@@ -251,9 +258,12 @@ class ViT(Backbone):
 
         block_fn = Block
         if self.use_checkpoint:
-            block_fn = nn.checkpoint(Block, static_argnums=())
+            # train flag (arg 2, after self) must be static under remat
+            block_fn = nn.checkpoint(Block, static_argnums=(2,))
 
         for i in range(self.depth):
+            # linearly increasing stochastic-depth rate (reference vit.py:383)
+            dp = self.drop_path_rate * i / max(self.depth - 1, 1)
             x = block_fn(
                 dim=self.embed_dim,
                 num_heads=self.num_heads,
@@ -263,8 +273,9 @@ class ViT(Backbone):
                 use_rel_pos=self.use_rel_pos,
                 input_size=(self.img_size // self.patch_size,) * 2,
                 use_residual_block=i in self.residual_block_indexes,
+                drop_path=dp,
                 name=f"blocks_{i}",
-            )(x)
+            )(x, train)
 
         return {self.out_feature: x}
 

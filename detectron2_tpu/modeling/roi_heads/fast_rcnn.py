@@ -22,7 +22,42 @@ from detectron2_tpu.layers.losses import cross_entropy, sigmoid_focal_loss, smoo
 from detectron2_tpu.modeling.box_regression import Box2BoxTransform
 from detectron2_tpu.ops.nms import batched_nms_padded
 
-__all__ = ["FastRCNNOutputLayers", "fast_rcnn_inference_padded"]
+__all__ = ["FastRCNNOutputLayers", "fast_rcnn_inference_padded", "fed_loss_class_mask"]
+
+
+def fed_loss_class_mask(
+    rng: jax.Array,
+    gt_classes: jnp.ndarray,  # [R] in [0, C] (C = background); -1 = padding
+    valid: jnp.ndarray,  # [R]
+    num_classes: int,
+    num_fed_loss_classes: int,
+    weights: jnp.ndarray,  # [C] sampling weight per foreground class
+) -> jnp.ndarray:
+    """[C] bool mask of classes contributing to the federated sigmoid CE.
+
+    Fixed-shape reformulation of the reference's get_fed_loss_classes
+    (fast_rcnn.py:356-381): classes appearing among the minibatch's proposals
+    are always kept, and negatives are drawn weighted-without-replacement to
+    reach ``num_fed_loss_classes`` total. The reference's
+    torch.multinomial(replacement=False) becomes Gumbel top-k over the
+    per-class ranks, which samples the identical distribution without a
+    data-dependent sample count.
+    """
+    C = num_classes
+    # appeared classes, background (C) included in the count like the
+    # reference's torch.unique; padding slots (-1) scatter to a C+1 dummy row
+    idx = jnp.where(valid, gt_classes, C + 1).astype(jnp.int32)
+    appeared = jnp.zeros((C + 2,), bool).at[idx].set(True)[: C + 1]
+    n_appeared = appeared.sum()
+
+    # weighted sampling without replacement over non-appeared fg classes
+    prob = jnp.where(appeared[:C], 0.0, weights.astype(jnp.float32))
+    gumbel = jax.random.gumbel(rng, (C,), jnp.float32)
+    scores = jnp.where(prob > 0, jnp.log(jnp.maximum(prob, 1e-30)) + gumbel, -jnp.inf)
+    rank = jnp.argsort(jnp.argsort(-scores))  # rank 0 = best
+    n_neg = jnp.maximum(num_fed_loss_classes - n_appeared, 0)
+    sampled = (rank < n_neg) & (prob > 0)
+    return appeared[:C] | sampled
 
 
 def fast_rcnn_inference_padded(
@@ -117,10 +152,27 @@ class FastRCNNOutputLayers(nn.Module):
     loss_weight_cls: float = 1.0
     loss_weight_box: float = 1.0
     use_sigmoid_ce: bool = False
+    # federated loss (reference fast_rcnn.py:356-422, the LVIS recipe): only
+    # classes appearing in the minibatch plus `fed_loss_num_classes` sampled
+    # negatives contribute to the sigmoid CE
+    use_fed_loss: bool = False
+    fed_loss_num_classes: int = 50
+    fed_loss_cls_weights: Optional[Tuple[float, ...]] = None
     box_dim: int = 4
 
     @classmethod
     def from_config(cls, cfg):
+        use_fed_loss = cfg.MODEL.ROI_BOX_HEAD.USE_FED_LOSS
+        fed_weights = None
+        if use_fed_loss:
+            from detectron2_tpu.data.detection_utils import get_fed_loss_cls_weights
+
+            fed_weights = tuple(
+                float(w)
+                for w in get_fed_loss_cls_weights(
+                    cfg.DATASETS.TRAIN, cfg.MODEL.ROI_BOX_HEAD.FED_LOSS_FREQ_WEIGHT_POWER
+                )
+            )
         return cls(
             num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
             box2box_weights=tuple(cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_WEIGHTS),
@@ -132,6 +184,9 @@ class FastRCNNOutputLayers(nn.Module):
             box_reg_loss_type=cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_LOSS_TYPE,
             loss_weight_box=cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_LOSS_WEIGHT,
             use_sigmoid_ce=cfg.MODEL.ROI_BOX_HEAD.USE_SIGMOID_CE,
+            use_fed_loss=use_fed_loss,
+            fed_loss_num_classes=cfg.MODEL.ROI_BOX_HEAD.FED_LOSS_NUM_CLASSES,
+            fed_loss_cls_weights=fed_weights,
         )
 
     @nn.compact
@@ -172,8 +227,21 @@ class FastRCNNOutputLayers(nn.Module):
             onehot = jax.nn.one_hot(
                 jnp.where(valid, gt_classes, self.num_classes), self.num_classes + 1
             )[:, :-1]
-            ce = binary_cross_entropy_with_logits(scores[:, :-1], onehot).sum(-1)
-            loss_cls = (ce * valid).sum() / num_valid
+            ce = binary_cross_entropy_with_logits(scores[:, :-1], onehot)  # [R, C]
+            if self.use_fed_loss:
+                assert self.fed_loss_cls_weights is not None, (
+                    "use_fed_loss requires fed_loss_cls_weights"
+                )
+                cls_mask = fed_loss_class_mask(
+                    self.make_rng("sampling"),
+                    gt_classes,
+                    valid,
+                    self.num_classes,
+                    self.fed_loss_num_classes,
+                    jnp.asarray(self.fed_loss_cls_weights, jnp.float32),
+                )
+                ce = ce * cls_mask[None, :]
+            loss_cls = (ce.sum(-1) * valid).sum() / num_valid
         else:
             loss_cls = cross_entropy(scores, jnp.where(valid, gt_classes, -100), reduction="sum", ignore_index=-100) / num_valid
 
