@@ -1,5 +1,5 @@
-"""Cascade Mask R-CNN MViTv2-B 3x
-(analogue of reference projects/MViTv2/configs/cascade_mask_rcnn_mvitv2_b_3x.py)."""
+"""Cascade Mask R-CNN MViTv2-T 3x (analogue of reference
+projects/MViTv2/configs/cascade_mask_rcnn_mvitv2_t_3x.py)."""
 
 from detectron2_tpu.config import LazyCall as L
 from detectron2_tpu.modeling.roi_heads import (
@@ -10,11 +10,7 @@ from detectron2_tpu.modeling.roi_heads import (
 
 from .mask_rcnn_mvitv2_t_3x import dataloader, lr_multiplier, model, optimizer, train  # noqa
 
-# MViTv2-B: depths (2, 3, 16, 3)
-model.backbone.bottom_up.depths = (2, 3, 16, 3)
-model.backbone.bottom_up.drop_path_rate = 0.4
-
-# sync-BN mask head + 2-conv RPN (reference cascade_mask_rcnn_mvitv2_t_3x.py)
+# sync-BN mask head + 2-conv RPN (the reference's TPU-Mask-R-CNN-style heads)
 model.roi_heads.mask_head.conv_norm = "SyncBN"
 model.proposal_generator.head.conv_dims = (-1, -1)
 
@@ -30,8 +26,8 @@ model.roi_heads = L(CascadeROIHeads)(
     pooler_sampling_ratio=0,
     pooler_type="ROIAlignV2",
     box_head=[
-        # reference uses NaiveSyncBatchNorm(stats_mode="N") here (empty-input-safe);
-        # our padded heads never see empty batches, so plain cross-replica SyncBN matches
+        # reference: NaiveSyncBatchNorm(stats_mode="N") (empty-input-safe); our
+        # padded heads never see empty batches, so cross-replica SyncBN matches
         L(FastRCNNConvFCHead)(conv_dims=(256, 256, 256, 256), fc_dims=(1024,), conv_norm="SyncBN")
         for _ in range(3)
     ],
@@ -50,4 +46,4 @@ model.roi_heads = L(CascadeROIHeads)(
     mask_head=model.roi_heads.mask_head,
 )
 
-train["output_dir"] = "./output/cascade_mvitv2_b_3x"
+train["output_dir"] = "./output/cascade_mvitv2_t_3x"

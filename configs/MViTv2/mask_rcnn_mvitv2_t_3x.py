@@ -11,6 +11,7 @@ from detectron2_tpu.solver.lr_scheduler import (
 )
 
 from ..common.models.mask_rcnn_fpn import model  # noqa
+from .common.coco_loader import dataloader  # noqa
 
 # MViTv2-T: depths (1, 2, 5, 2)
 model.backbone = L(FPN)(
@@ -18,6 +19,7 @@ model.backbone = L(FPN)(
         embed_dim=96,
         depths=(1, 2, 5, 2),
         num_heads=(1, 2, 4, 8),
+        drop_path_rate=0.2,
         out_features=("scale2", "scale3", "scale4", "scale5"),
     ),
     in_features=("scale2", "scale3", "scale4", "scale5"),

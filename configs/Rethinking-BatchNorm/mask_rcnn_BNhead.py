@@ -1,8 +1,10 @@
 """Mask R-CNN with BatchNorm in the box/mask heads
 (analogue of reference projects/Rethinking-BatchNorm/configs/mask_rcnn_BNhead.py)."""
 
-from ..common.models.mask_rcnn_fpn import model  # noqa
 from ..common.coco_schedule import lr_multiplier_3x as lr_multiplier  # noqa
+from ..common.data.coco import dataloader  # noqa
+from ..common.models.mask_rcnn_fpn import model  # noqa
+from ..common.optim import SGD as optimizer  # noqa
 
 model.backbone.bottom_up.freeze_at = 2
 model.roi_heads.box_head.conv_norm = model.roi_heads.mask_head.conv_norm = "BN"

@@ -116,6 +116,13 @@ class LazyCall:
             # omegaconf-backed LazyCall).
             try:
                 target = _convert_target_to_string(self._target)
+                # classes exec'd in a config namespace stringify to a bogus
+                # module (e.g. "builtins.X"); keep the object unless the
+                # string really resolves back to it
+                from detectron2_tpu.utils.registry import locate
+
+                if locate(target) is not self._target:
+                    target = self._target
             except Exception:
                 target = self._target
         kwargs["_target_"] = target

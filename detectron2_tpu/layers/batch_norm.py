@@ -5,10 +5,12 @@ Parity with reference detectron2/layers/batch_norm.py, re-designed for jax:
 - FrozenBatchNorm2d: affine-only BN with frozen statistics; parameters are
   wrapped in stop_gradient so they never train (the reference's default
   ResNet norm, batch_norm.py:13-134).
-- NaiveSyncBatchNorm -> :class:`SyncBatchNorm`: cross-replica BN. On TPU this
-  is simply flax BatchNorm with ``axis_name='data'`` — the mean/var pmean is
-  generated *inside* the compiled step over the mesh's data axis, replacing
-  the reference's differentiable_all_reduce (batch_norm.py:200-283).
+- NaiveSyncBatchNorm -> :class:`SyncBatchNorm`: cross-replica BN. Under the
+  pjit/GSPMD step the batch is one global array, so plain batch statistics
+  already span every replica (XLA inserts the cross-chip reduction from the
+  sharding) — no explicit collective call, replacing the reference's
+  differentiable_all_reduce (batch_norm.py:200-283). ``axis_name`` exists
+  for pmap/shard_map contexts.
 - get_norm: the string -> norm factory (batch_norm.py:169).
 """
 
@@ -82,11 +84,16 @@ class BatchNorm(nn.Module):
 
 
 class SyncBatchNorm(BatchNorm):
-    """Cross-replica BN: statistics are pmean'd over the mesh's data axis
-    inside the compiled step (TPU-native replacement for the reference's
-    NaiveSyncBatchNorm, batch_norm.py:200)."""
+    """Cross-replica BN (TPU-native replacement for the reference's
+    NaiveSyncBatchNorm, batch_norm.py:200).
 
-    axis_name: Optional[str] = "data"
+    Under the production pjit/GSPMD step the batch is ONE global array, so
+    plain batch statistics are already computed over every replica's
+    examples — no explicit pmean is needed (XLA inserts the cross-chip
+    reduction from the sharding). Set ``axis_name`` only when running under
+    ``pmap``/``shard_map``, where per-shard views need an explicit pmean."""
+
+    axis_name: Optional[str] = None
 
 
 # the reference exposes this name; same implementation on TPU

@@ -5,6 +5,9 @@ from detectron2_tpu.config.cfg_node import CfgNode as CN
 
 def add_pointrend_config(cfg):
     """Add config for PointRend."""
+    # crops sampled until no single category covers more than this fraction
+    # (reference point_rend/config.py:13; the cityscapes semantic recipes)
+    cfg.INPUT.CROP.SINGLE_CATEGORY_MAX_AREA = 1.0
     cfg.INPUT.COLOR_AUG_SSD = False
 
     cfg.MODEL.ROI_HEADS.NAME = "PointRendROIHeads"
