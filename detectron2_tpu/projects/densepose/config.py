@@ -30,6 +30,9 @@ def add_densepose_config(cfg):
     cfg.MODEL.ROI_DENSEPOSE_HEAD.PART_WEIGHTS = 1.0
     cfg.MODEL.ROI_DENSEPOSE_HEAD.POINT_REGRESSION_WEIGHTS = 0.01
     cfg.MODEL.ROI_DENSEPOSE_HEAD.PREDICTOR_NAME = "DensePoseChartWithConfidencePredictor"
+    # loss family selector (reference config.py; dispatched by PREDICTOR_NAME
+    # here — chart losses for chart predictors, CSE losses for embedding ones)
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.LOSS_NAME = "DensePoseChartWithConfidenceLoss"
     # FPN decoder ahead of the densepose pooler (ON in the zoo configs)
     cfg.MODEL.ROI_DENSEPOSE_HEAD.DECODER_ON = True
     cfg.MODEL.ROI_DENSEPOSE_HEAD.DECODER_NUM_CLASSES = 256
@@ -50,6 +53,9 @@ def add_densepose_config(cfg):
     cfg.MODEL.ROI_DENSEPOSE_HEAD.UV_CONFIDENCE = CN({"ENABLED": False})
     cfg.MODEL.ROI_DENSEPOSE_HEAD.UV_CONFIDENCE.TYPE = "iid_iso"  # iid_iso | indep_aniso
     cfg.MODEL.ROI_DENSEPOSE_HEAD.UV_CONFIDENCE.EPSILON = 0.01
+    # segmentation confidence (the *M model variants; reference config.py:221)
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.SEGM_CONFIDENCE = CN({"ENABLED": False})
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.SEGM_CONFIDENCE.EPSILON = 0.01
 
     # HRNet backbone (reference config.py add_hrnet_config — HigherHRNet w32)
     cfg.MODEL.HRNET = CN()
@@ -74,6 +80,8 @@ def add_densepose_config(cfg):
     cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE = CN()
     cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE.EMBED_SIZE = 16
     cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE.EMBED_LOSS_WEIGHT = 0.6
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE.EMBED_LOSS_NAME = "EmbeddingLoss"
     cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE.EMBEDDING_DIST_GAUSS_SIGMA = 0.01
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE.GEODESIC_DIST_GAUSS_SIGMA = 0.01
     # (mesh_name, num_vertices) pairs; smpl_27554 is the DensePose-COCO mesh
     cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE.EMBEDDERS = [["smpl_27554", 27554]]

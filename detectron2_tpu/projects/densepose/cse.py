@@ -28,6 +28,7 @@ __all__ = [
     "VertexFeatureEmbedder",
     "Embedder",
     "cse_embedding_loss",
+    "cse_soft_embedding_loss",
     "closest_vertices_from_embedding",
 ]
 
@@ -125,6 +126,32 @@ def cse_embedding_loss(
     K = scores.shape[-1]
     ids = jnp.clip(gt_vertex_ids, 0, K - 1).astype(jnp.int32)
     nll = -jnp.take_along_axis(logp, ids[:, None], axis=-1)[:, 0]
+    w = valid.astype(jnp.float32)
+    return (nll * w).sum() / jnp.maximum(w.sum(), 1.0)
+
+
+def cse_soft_embedding_loss(
+    pixel_embeddings: jnp.ndarray,  # [P, D] predicted embeddings at annotated points
+    gt_vertex_ids: jnp.ndarray,  # [P] int, GT vertex index per point
+    valid: jnp.ndarray,  # [P] bool
+    mesh_vertex_embeddings: jnp.ndarray,  # [K, D]
+    geodists: jnp.ndarray,  # [K, K] mesh geodesic distances
+    embdist_gauss_sigma: float = 0.01,
+    geodist_gauss_sigma: float = 0.01,
+) -> jnp.ndarray:
+    """Soft-target variant (reference losses/soft_embed.py:95-120): instead of
+    a one-hot GT vertex, the target is a softmax over geodesic distances from
+    the GT vertex — nearby vertices on the mesh surface count as partially
+    correct. Masked mean over valid points."""
+    emb = normalize_embeddings(pixel_embeddings)
+    scores = squared_euclidean_distance_matrix(emb, mesh_vertex_embeddings) / (
+        -embdist_gauss_sigma
+    )  # [P, K]
+    logp = jax.nn.log_softmax(scores, axis=-1)
+    K = scores.shape[-1]
+    ids = jnp.clip(gt_vertex_ids, 0, K - 1).astype(jnp.int32)
+    target = jax.nn.softmax(geodists[ids] / (-geodist_gauss_sigma), axis=-1)  # [P, K]
+    nll = -(target * logp).sum(-1)
     w = valid.astype(jnp.float32)
     return (nll * w).sum() / jnp.maximum(w.sum(), 1.0)
 

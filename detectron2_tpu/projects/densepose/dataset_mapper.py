@@ -168,7 +168,29 @@ _DENSEPOSE_SPLITS = {
     ),
 }
 
+# CSE re-annotations (vertex ids on the SMPL mesh instead of IUV charts;
+# reference densepose/data/datasets/coco.py DENSEPOSE_CSE_KEYS_WITHOUT_MASK)
+_DENSEPOSE_CSE_SPLITS = {
+    "densepose_coco_2014_train_cse": (
+        "coco/train2014",
+        "coco/annotations/densepose_train2014_cse.json",
+    ),
+    "densepose_coco_2014_minival_cse": (
+        "coco/val2014",
+        "coco/annotations/densepose_minival2014_cse.json",
+    ),
+    "densepose_coco_2014_minival_100_cse": (
+        "coco/val2014",
+        "coco/annotations/densepose_minival2014_100_cse.json",
+    ),
+    "densepose_coco_2014_valminusminival_cse": (
+        "coco/val2014",
+        "coco/annotations/densepose_valminusminival2014_cse.json",
+    ),
+}
+
 DENSEPOSE_ANN_KEYS = ["dp_x", "dp_y", "dp_I", "dp_U", "dp_V", "dp_masks"]
+DENSEPOSE_CSE_ANN_KEYS = ["dp_x", "dp_y", "dp_vertex", "ref_model", "dp_masks"]
 
 
 def register_densepose_coco(root: Optional[str] = None):
@@ -180,15 +202,18 @@ def register_densepose_coco(root: Optional[str] = None):
     from detectron2_tpu.data.datasets.coco import load_coco_json
 
     root = root or os.environ.get("DETECTRON2_DATASETS", "datasets")
-    for name, (image_root, json_file) in _DENSEPOSE_SPLITS.items():
+    all_splits = dict(_DENSEPOSE_SPLITS)
+    all_splits.update(_DENSEPOSE_CSE_SPLITS)
+    for name, (image_root, json_file) in all_splits.items():
         if name in DatasetCatalog:
             continue
+        keys = DENSEPOSE_CSE_ANN_KEYS if name.endswith("_cse") else DENSEPOSE_ANN_KEYS
         image_dir = os.path.join(root, image_root)
         json_path = os.path.join(root, json_file)
         DatasetCatalog.register(
             name,
-            (lambda j=json_path, d=image_dir, n=name: load_coco_json(
-                j, d, n, extra_annotation_keys=DENSEPOSE_ANN_KEYS
+            (lambda j=json_path, d=image_dir, n=name, k=keys: load_coco_json(
+                j, d, n, extra_annotation_keys=k
             )),
         )
         MetadataCatalog.get(name).set(

@@ -166,17 +166,22 @@ class DensePoseChartPredictor(nn.Module):
     deconv_kernel: int = 4
     up_scale: int = 2
     uv_confidence: str = "none"  # none | iid_iso | indep_aniso
+    segm_confidence: bool = False  # the *M variants (chart_confidence.py:82-148)
+    segm_confidence_epsilon: float = 0.01
 
     @classmethod
     def from_config(cls, cfg, input_shape=None):
         h = cfg.MODEL.ROI_DENSEPOSE_HEAD
         conf = h.UV_CONFIDENCE
+        sconf = h.SEGM_CONFIDENCE
         return cls(
             num_patches=h.NUM_PATCHES,
             num_coarse_segm_channels=h.NUM_COARSE_SEGM_CHANNELS,
             deconv_kernel=h.DECONV_KERNEL,
             up_scale=h.UP_SCALE,
             uv_confidence=conf.TYPE if conf.ENABLED else "none",
+            segm_confidence=sconf.ENABLED,
+            segm_confidence_epsilon=sconf.EPSILON,
         )
 
     @nn.compact
@@ -205,6 +210,21 @@ class DensePoseChartPredictor(nn.Module):
             if self.uv_confidence == "indep_aniso":
                 out["kappa_u"] = _interp2d(lowres("kappa_u_lowres", K), self.up_scale)
                 out["kappa_v"] = _interp2d(lowres("kappa_v_lowres", K), self.up_scale)
+        if self.segm_confidence:
+            # per-pixel positive scale on the segmentation logits
+            # (reference chart_confidence.py:125-148); 1-channel conf
+            # broadcasts over the class dim = torch repeat_interleave
+            eps = self.segm_confidence_epsilon
+            fconf = jax.nn.softplus(
+                _interp2d(lowres("fine_segm_confidence_lowres", 1), self.up_scale)
+            ) + eps
+            cconf = jax.nn.softplus(
+                _interp2d(lowres("coarse_segm_confidence_lowres", 1), self.up_scale)
+            ) + eps
+            out["fine_segm_confidence"] = fconf
+            out["coarse_segm_confidence"] = cconf
+            out["fine_segm"] = out["fine_segm"] * fconf
+            out["coarse_segm"] = out["coarse_segm"] * cconf
         return {k: v.astype(jnp.float32) for k, v in out.items()}
 
 

@@ -53,6 +53,13 @@ class DensePoseROIHeads(StandardROIHeads):
     cse_mesh_name: str = "smpl_27554"
     embdist_gauss_sigma: float = 0.01
     embed_loss_weight: float = 0.6
+    # "EmbeddingLoss" (one-hot GT vertex) or "SoftEmbeddingLoss" (geodesic
+    # soft targets; the reference's *_soft_* configs, losses/soft_embed.py)
+    embed_loss_name: str = "EmbeddingLoss"
+    geodist_gauss_sigma: float = 0.01
+    # [K, K] mesh geodesic distances, required by SoftEmbeddingLoss; loaded
+    # host-side (cse.load_mesh_data) and closed over as a constant
+    mesh_geodists: Optional[jnp.ndarray] = None
     # parity/debug escape hatch: attach the raw predictor maps at inference
     raw_outputs: bool = False
 
@@ -92,6 +99,8 @@ class DensePoseROIHeads(StandardROIHeads):
             cse_mesh_name=mesh_name,
             embdist_gauss_sigma=h.CSE.EMBEDDING_DIST_GAUSS_SIGMA,
             embed_loss_weight=h.CSE.EMBED_LOSS_WEIGHT,
+            embed_loss_name=h.CSE.EMBED_LOSS_NAME,
+            geodist_gauss_sigma=h.CSE.GEODESIC_DIST_GAUSS_SIGMA,
         )
 
     # the densepose branch piggybacks on the mask hooks so the standard
@@ -243,13 +252,30 @@ class DensePoseROIHeads(StandardROIHeads):
         emb_at = point_sample(out["embedding"], coords)  # [R, P, D]
         mesh_emb = self.cse_embedder(self.cse_mesh_name)  # [K, D]
         D = emb_at.shape[-1]
-        loss_embed = cse_embedding_loss(
-            emb_at.reshape(-1, D),
-            vert.reshape(-1),
-            (w > 0).reshape(-1),
-            mesh_emb,
-            self.embdist_gauss_sigma,
-        )
+        if self.embed_loss_name == "SoftEmbeddingLoss":
+            from detectron2_tpu.projects.densepose.cse import cse_soft_embedding_loss
+
+            assert self.mesh_geodists is not None, (
+                "SoftEmbeddingLoss needs mesh geodesic distances: set "
+                "roi_heads.mesh_geodists (cse.load_mesh_data(...)['geodists'])"
+            )
+            loss_embed = cse_soft_embedding_loss(
+                emb_at.reshape(-1, D),
+                vert.reshape(-1),
+                (w > 0).reshape(-1),
+                mesh_emb,
+                jnp.asarray(self.mesh_geodists),
+                self.embdist_gauss_sigma,
+                self.geodist_gauss_sigma,
+            )
+        else:
+            loss_embed = cse_embedding_loss(
+                emb_at.reshape(-1, D),
+                vert.reshape(-1),
+                (w > 0).reshape(-1),
+                mesh_emb,
+                self.embdist_gauss_sigma,
+            )
         return {
             "loss_densepose_S": loss_coarse * self.index_weight,
             f"loss_densepose_E_{self.cse_mesh_name}": loss_embed * self.embed_loss_weight,
