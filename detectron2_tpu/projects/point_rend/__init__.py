@@ -16,7 +16,7 @@ from detectron2_tpu.projects.point_rend.point_features import (
 )
 from detectron2_tpu.projects.point_rend.point_head import StandardPointHead
 from detectron2_tpu.projects.point_rend.coarse_mask_head import CoarseMaskHead
-from detectron2_tpu.projects.point_rend.roi_heads import PointRendROIHeads
+from detectron2_tpu.projects.point_rend.roi_heads import ImplicitPointRendROIHeads, PointRendROIHeads
 from detectron2_tpu.projects.point_rend.semantic_seg import (
     PointRendSemSegHead,
     calculate_uncertainty_sem_seg,
@@ -33,4 +33,5 @@ __all__ = [
     "StandardPointHead",
     "CoarseMaskHead",
     "PointRendROIHeads",
+    "ImplicitPointRendROIHeads",
 ]

@@ -12,7 +12,42 @@ from flax import linen as nn
 from detectron2_tpu.layers.wrappers import Conv2d
 from detectron2_tpu.modeling.roi_heads.mask_head import ROI_MASK_HEAD_REGISTRY
 
-__all__ = ["CoarseMaskHead"]
+__all__ = ["CoarseMaskHead", "ImplicitParameterHead"]
+
+
+class ImplicitParameterHead(nn.Module):
+    """The reference's ConvFCHead with a FLAT output shape — predicts the
+    per-instance MLP parameter vector for Implicit PointRend
+    (reference mask_head.py ConvFCHead(output_shape=(num_params,)) at :368).
+    Layer names mirror CoarseMaskHead for checkpoint mapping."""
+
+    num_params: int
+    conv_dim: int = 256
+    fc_dims: Tuple[int, ...] = (1024, 1024)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        """x: [R, h, w, C] pooled features -> [R, num_params]."""
+        R = x.shape[0]
+        if x.shape[-1] > self.conv_dim:
+            x = Conv2d(
+                features=self.conv_dim,
+                kernel_size=1,
+                activation=nn.relu,
+                name="reduce_channel_dim_conv",
+            )(x, train=train)
+        x = Conv2d(
+            features=self.conv_dim,
+            kernel_size=2,
+            strides=2,
+            padding=0,
+            activation=nn.relu,
+            name="reduce_spatial_dim_conv",
+        )(x, train=train)
+        x = x.transpose(0, 3, 1, 2).reshape(R, -1)  # torch CHW flatten
+        for i, dim in enumerate(self.fc_dims):
+            x = nn.relu(nn.Dense(dim, name=f"fc{i + 1}")(x))
+        return nn.Dense(self.num_params, name="prediction")(x).astype(jnp.float32)
 
 
 @ROI_MASK_HEAD_REGISTRY.register()

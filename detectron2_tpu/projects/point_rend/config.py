@@ -10,6 +10,12 @@ def add_pointrend_config(cfg):
     cfg.INPUT.CROP.SINGLE_CATEGORY_MAX_AREA = 1.0
     cfg.INPUT.COLOR_AUG_SSD = False
 
+    # Implicit PointRend (reference config.py add_pointrend_config tail)
+    cfg.MODEL.IMPLICIT_POINTREND = CN()
+    cfg.MODEL.IMPLICIT_POINTREND.IMAGE_FEATURE_ENABLED = True
+    cfg.MODEL.IMPLICIT_POINTREND.POS_ENC_ENABLED = True
+    cfg.MODEL.IMPLICIT_POINTREND.PARAMS_L2_REGULARIZER = 0.00001
+
     cfg.MODEL.ROI_HEADS.NAME = "PointRendROIHeads"
     cfg.MODEL.ROI_MASK_HEAD.NAME = "CoarseMaskHead"
     # side of the coarse prediction (upsampled by the subdivision loop)

@@ -146,3 +146,89 @@ def test_pointrend_semseg_head_train_and_infer():
     logits, _ = head.apply(params, feats, train=False)
     assert logits.shape == (2, 64, 64, 7)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_implicit_pointrend_dynamic_mlp_matches_manual():
+    """ImplicitPointHead's dynamic MLP equals a hand-rolled per-instance MLP
+    with the same parameter slicing (reference point_head.py:229-274)."""
+    from detectron2_tpu.projects.point_rend.point_head import ImplicitPointHead
+
+    head = ImplicitPointHead(
+        num_classes=3,
+        num_fc=2,
+        channels=8,
+        image_feature_channels=4,
+        image_feature_enabled=True,
+        positional_encoding_enabled=False,
+    )
+    assert head.in_channels == 4
+    w_sizes, b_sizes = head._layer_sizes()
+    assert w_sizes == [4 * 8, 8 * 8, 8 * 3] and b_sizes == [8, 8, 3]
+
+    rng = np.random.RandomState(0)
+    R, P = 2, 5
+    fine = jnp.asarray(rng.randn(R, P, 4).astype(np.float32))
+    coords = jnp.asarray(rng.rand(R, P, 2).astype(np.float32))
+    params_vec = jnp.asarray(rng.randn(R, head.num_params).astype(np.float32))
+    variables = head.init(jax.random.PRNGKey(0), fine, coords, params_vec)
+    out = np.asarray(head.apply(variables, fine, coords, params_vec))
+
+    # manual per-instance forward
+    for r in range(R):
+        x = np.asarray(fine[r])  # [P, 4]
+        off = 0
+        ws = []
+        for s, (cin, cout) in zip(w_sizes, [(4, 8), (8, 8), (8, 3)]):
+            ws.append(np.asarray(params_vec[r, off : off + s]).reshape(cout, cin))
+            off += s
+        bs = []
+        for s in b_sizes:
+            bs.append(np.asarray(params_vec[r, off : off + s]))
+            off += s
+        for i, (w, b) in enumerate(zip(ws, bs)):
+            x = x @ w.T + b
+            if i < 2:
+                x = np.maximum(x, 0)
+        np.testing.assert_allclose(out[r], x, rtol=1e-4, atol=1e-5)
+
+
+def test_implicit_pointrend_rcnn_train_and_infer():
+    cfg = _pointrend_cfg()
+    cfg.MODEL.ROI_HEADS.NAME = "ImplicitPointRendROIHeads"
+    cfg.MODEL.ROI_MASK_HEAD.NAME = "ImplicitPointRendMaskHead"
+    cfg.MODEL.POINT_HEAD.NAME = "ImplicitPointHead"
+    cfg.MODEL.POINT_HEAD.FC_DIM = 16
+    cfg.MODEL.POINT_HEAD.NUM_FC = 2
+    cfg.MODEL.POINT_HEAD.SUBDIVISION_STEPS = 2
+    cfg.MODEL.POINT_HEAD.SUBDIVISION_NUM_POINTS = 49
+    model = build_model(cfg)
+
+    rng = np.random.RandomState(0)
+    G = 4
+    xy = rng.rand(1, G, 2) * 24
+    wh = rng.rand(1, G, 2) * 20 + 8
+    batch = {
+        "image": jnp.asarray(rng.randint(0, 255, (1, 64, 64, 3)).astype(np.float32)),
+        "image_sizes": jnp.asarray([[64, 64]], jnp.int32),
+        "gt_boxes": jnp.asarray(np.concatenate([xy, xy + wh], -1).astype(np.float32)),
+        "gt_classes": jnp.asarray(rng.randint(0, 4, (1, G)).astype(np.int32)),
+        "gt_valid": jnp.ones((1, G), bool),
+        "gt_masks": jnp.asarray((rng.rand(1, G, 28, 28) > 0.5).astype(np.float32)),
+    }
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)}, batch, train=True
+    )
+    losses = model.apply(
+        variables, batch, train=True, rngs={"sampling": jax.random.PRNGKey(2)}
+    )
+    for key in ["loss_mask_point", "loss_l2", "loss_cls", "loss_rpn_cls"]:
+        assert key in losses, losses.keys()
+        assert np.isfinite(float(losses[key])), key
+    assert "loss_mask" not in losses  # no coarse mask head in the implicit variant
+
+    det = model.apply(
+        variables, {"image": batch["image"], "image_sizes": batch["image_sizes"]}, train=False
+    )
+    # init 7x7 grid -> 14 -> 28 subdivision
+    assert det["pred_masks"].shape == (1, 8, 28, 28)
+    assert np.isfinite(np.asarray(det["pred_masks"])).all()
