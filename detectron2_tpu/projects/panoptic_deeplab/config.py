@@ -36,6 +36,14 @@ def add_panoptic_deeplab_config(cfg):
     cfg.MODEL.PANOPTIC_DEEPLAB.NMS_KERNEL = 7
     cfg.MODEL.PANOPTIC_DEEPLAB.TOP_K_INSTANCE = 200
     # keep the thing-class prediction from the semantic majority vote
+    # optimizer selector (reference config.py:21; build_optimizer dispatches)
+    cfg.SOLVER.OPTIMIZER = "ADAM"
+    # center-heatmap target generation (reference config.py:15-18)
+    cfg.INPUT.GAUSSIAN_SIGMA = 10
+    cfg.INPUT.IGNORE_STUFF_IN_OFFSET = True
+    cfg.INPUT.SMALL_INSTANCE_AREA = 4096
+    cfg.INPUT.SMALL_INSTANCE_WEIGHT = 3
+
     cfg.MODEL.PANOPTIC_DEEPLAB.PREDICT_INSTANCES = False
     cfg.MODEL.PANOPTIC_DEEPLAB.USE_DEPTHWISE_SEPARABLE_CONV = False
     cfg.MODEL.PANOPTIC_DEEPLAB.SIZE_DIVISIBILITY = -1

@@ -165,22 +165,49 @@ def build_lr_scheduler(cfg, base_lr: Optional[float] = None) -> LRMultiplier:
             warmup_method=cfg.SOLVER.WARMUP_METHOD,
             end_lr_fraction=end_fraction,
         )
+    elif name == "WarmupPolyLR":
+        # the DeepLab-project schedule; its keys only exist after
+        # add_deeplab_config (reference keeps this in the project's
+        # build_solver.py — routed here so plain build_optimizer works too)
+        from detectron2_tpu.projects.deeplab.build_solver import WarmupPolyLR
+
+        return WarmupPolyLR(
+            base_lr,
+            max_iter,
+            warmup_factor=cfg.SOLVER.WARMUP_FACTOR,
+            warmup_iters=cfg.SOLVER.WARMUP_ITERS,
+            warmup_method=cfg.SOLVER.WARMUP_METHOD,
+            power=cfg.SOLVER.POLY_LR_POWER,
+            constant_ending=cfg.SOLVER.POLY_LR_CONSTANT_ENDING,
+        )
     else:
         raise ValueError(f"Unknown LR scheduler: {name}")
 
 
 def build_optimizer(cfg, params) -> optax.GradientTransformation:
-    """Build the optimizer from config (reference solver/build.py:119)."""
+    """Build the optimizer from config (reference solver/build.py:119; the
+    Panoptic-DeepLab project adds a SOLVER.OPTIMIZER=ADAM selector which its
+    build_optimizer dispatches on)."""
     labels = get_param_labels(params)
     schedule = build_lr_scheduler(cfg)
-    opt = sgd_with_param_groups(
-        schedule,
-        momentum=cfg.SOLVER.MOMENTUM,
-        nesterov=cfg.SOLVER.NESTEROV,
-        weight_decay=cfg.SOLVER.WEIGHT_DECAY,
-        weight_decay_norm=cfg.SOLVER.WEIGHT_DECAY_NORM,
-        weight_decay_bias=cfg.SOLVER.WEIGHT_DECAY_BIAS,
-        bias_lr_factor=cfg.SOLVER.BIAS_LR_FACTOR,
-        param_labels=labels,
-    )
+    kind = getattr(cfg.SOLVER, "OPTIMIZER", "SGD").upper()
+    if kind == "ADAM":
+        opt = adamw_with_param_groups(
+            schedule,
+            weight_decay=cfg.SOLVER.WEIGHT_DECAY,
+            weight_decay_norm=cfg.SOLVER.WEIGHT_DECAY_NORM,
+            weight_decay_bias=cfg.SOLVER.WEIGHT_DECAY_BIAS,
+            param_labels=labels,
+        )
+    else:
+        opt = sgd_with_param_groups(
+            schedule,
+            momentum=cfg.SOLVER.MOMENTUM,
+            nesterov=cfg.SOLVER.NESTEROV,
+            weight_decay=cfg.SOLVER.WEIGHT_DECAY,
+            weight_decay_norm=cfg.SOLVER.WEIGHT_DECAY_NORM,
+            weight_decay_bias=cfg.SOLVER.WEIGHT_DECAY_BIAS,
+            bias_lr_factor=cfg.SOLVER.BIAS_LR_FACTOR,
+            param_labels=labels,
+        )
     return maybe_add_gradient_clipping(cfg, opt)
