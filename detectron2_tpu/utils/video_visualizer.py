@@ -58,7 +58,9 @@ class VideoVisualizer:
 
             boxes_old = Boxes(np.asarray([x.bbox for x in self._old_instances], np.float32))
             boxes_new = Boxes(np.asarray([x.bbox for x in instances], np.float32))
-            ious = np.asarray(pairwise_iou(boxes_old, boxes_new))
+            # np.array (copy): asarray of a jax array is a READ-ONLY view and
+            # the matching loop zeroes claimed columns in place
+            ious = np.array(pairwise_iou(boxes_old, boxes_new))
             threshold = 0.6
             if ious.size:
                 for old_idx, old in enumerate(self._old_instances):
