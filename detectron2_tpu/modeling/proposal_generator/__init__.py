@@ -12,5 +12,6 @@ from detectron2_tpu.modeling.proposal_generator.rpn import (
     StandardRPNHead,
     build_rpn_head,
 )
+from detectron2_tpu.modeling.proposal_generator.rrpn import RRPN
 
 __all__ = [k for k in globals().keys() if not k.startswith("_")]

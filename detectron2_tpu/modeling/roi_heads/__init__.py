@@ -22,6 +22,10 @@ from detectron2_tpu.modeling.roi_heads.mask_head import (
     mask_rcnn_loss,
 )
 from detectron2_tpu.modeling.roi_heads.cascade_rcnn import CascadeROIHeads
+from detectron2_tpu.modeling.roi_heads.rotated_fast_rcnn import (
+    RROIHeads,
+    RotatedFastRCNNOutputLayers,
+)
 from detectron2_tpu.modeling.roi_heads.roi_heads import (
     ROI_HEADS_REGISTRY,
     Res5ROIHeads,

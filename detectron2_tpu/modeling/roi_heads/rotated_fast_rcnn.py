@@ -34,11 +34,14 @@ class RotatedFastRCNNOutputLayers(FastRCNNOutputLayers):
 
     @classmethod
     def from_config(cls, cfg):
-        base = FastRCNNOutputLayers.from_config(cfg)
+        # build through cls (FastRCNNOutputLayers.from_config instantiates
+        # cls), then clone — flax modules have .clone, not .replace, and a
+        # base-class instance would lose the rotated decode/NMS overrides
+        base = FastRCNNOutputLayers.from_config.__func__(cls, cfg)
         weights = cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_WEIGHTS
         if len(weights) != 5:
             weights = (10.0, 10.0, 5.0, 5.0, 1.0)
-        return base.replace(box_dim=5, box2box_weights=tuple(weights), cls_agnostic_bbox_reg=True)
+        return base.clone(box_dim=5, box2box_weights=tuple(weights), cls_agnostic_bbox_reg=True)
 
     def predict_boxes(self, predictions, proposal_boxes):
         _, deltas = predictions
