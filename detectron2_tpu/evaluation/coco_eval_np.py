@@ -117,14 +117,25 @@ class Params:
         self.iouType = iouType
         self.iouThrs = np.linspace(0.5, 0.95, 10)
         self.recThrs = np.linspace(0.0, 1.0, 101)
-        self.maxDets = [1, 10, 100]
-        self.areaRng = [
-            [0, 1e10],
-            [0, 32**2],
-            [32**2, 96**2],
-            [96**2, 1e10],
-        ]
-        self.areaRngLbl = ["all", "small", "medium", "large"]
+        if iouType == "keypoints":
+            # pycocotools Params.setKpParams: keypoint eval caps at 20
+            # detections and drops the "small" area bucket (no small people)
+            self.maxDets = [20]
+            self.areaRng = [
+                [0, 1e10],
+                [32**2, 96**2],
+                [96**2, 1e10],
+            ]
+            self.areaRngLbl = ["all", "medium", "large"]
+        else:
+            self.maxDets = [1, 10, 100]
+            self.areaRng = [
+                [0, 1e10],
+                [0, 32**2],
+                [32**2, 96**2],
+                [96**2, 1e10],
+            ]
+            self.areaRngLbl = ["all", "small", "medium", "large"]
         self.useCats = 1
         self.imgIds: List[int] = []
         self.catIds: List[int] = []

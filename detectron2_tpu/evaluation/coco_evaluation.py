@@ -392,7 +392,9 @@ def _evaluate_predictions_on_coco(
 
     coco_dt = coco_gt.loadRes(coco_results)
     coco_eval = COCOevalNP(coco_gt, coco_dt, iou_type)
-    if max_dets_per_image is not None:
+    # keypoint eval keeps pycocotools' setKpParams maxDets=[20]
+    # (reference :603-604 only overrides maxDets for bbox/segm)
+    if max_dets_per_image is not None and iou_type != "keypoints":
         assert len(max_dets_per_image) >= 3
         coco_eval.params.maxDets = list(max_dets_per_image)
     if img_ids is not None:
