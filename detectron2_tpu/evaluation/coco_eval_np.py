@@ -258,7 +258,14 @@ class COCOevalNP:
 
         for g in gt:
             area = g.get("area", g["bbox"][2] * g["bbox"][3] if "bbox" in g else 0)
-            g["_ignore"] = int(g.get("ignore", 0) or g.get("iscrowd", 0) or area < aRng[0] or area > aRng[1])
+            ig = g.get("ignore", 0) or g.get("iscrowd", 0)
+            if p.iouType == "keypoints":
+                # pycocotools _prepare: gts with no labeled keypoints are ignored
+                nk = g.get("num_keypoints")
+                if nk is None:
+                    nk = int(np.count_nonzero(np.asarray(g.get("keypoints", []))[2::3] > 0))
+                ig = ig or nk == 0
+            g["_ignore"] = int(ig or area < aRng[0] or area > aRng[1])
 
         # sort gt: non-ignored first; dt by score desc
         gtind = np.argsort([g["_ignore"] for g in gt], kind="mergesort")

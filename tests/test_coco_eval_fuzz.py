@@ -121,3 +121,67 @@ def test_crowd_heavy_dataset():
     s_py = _run_eval(gt, dets, use_native=False)
     s_nat = _run_eval(gt, dets, use_native=True)
     np.testing.assert_allclose(s_py, s_nat, atol=1e-12)
+
+
+# --------------------------------------------------------------------------
+# Goldens derived from the REFERENCE detectron2's real C++ COCOeval
+# (layers/csrc/cocoeval/cocoeval.cpp compiled as a torch CPU extension and
+# driven per fast_eval_api.py; see dev/make_cocoeval_reference_goldens.py).
+# IoUs on the oracle side came from independent implementations (bbox w/
+# crowd, dense-mask IoU, OKS), so these cases pin computeIoU, the RLE codec,
+# OKS, the matcher, and accumulate against upstream — not self-referentially.
+
+import json
+import os
+
+_REF_GOLDENS = os.path.join(os.path.dirname(__file__), "goldens", "cocoeval_reference.npz")
+
+
+def _load_ref_cases():
+    data = np.load(_REF_GOLDENS)
+    names = sorted({k.split("/")[0] for k in data.files})
+    return data, names
+
+
+_REF_DATA, _REF_CASES = _load_ref_cases()
+
+
+def _json_of(arr):
+    return json.loads(bytes(arr.tobytes()).decode())
+
+
+@pytest.mark.parametrize("name", _REF_CASES)
+@pytest.mark.parametrize("matcher", ["native", "python"])
+def test_matches_reference_cpp_goldens(name, matcher):
+    if matcher == "native" and _native.get_lib() is None:
+        pytest.skip("native cocoeval lib unavailable")
+    gt = _json_of(_REF_DATA[f"{name}/gt"])
+    dets = _json_of(_REF_DATA[f"{name}/dt"])
+    meta = _json_of(_REF_DATA[f"{name}/meta"])
+
+    coco_gt = COCOStyleDataset(gt)
+    coco_dt = coco_gt.loadRes(dets)
+    ev = COCOevalNP(coco_gt, coco_dt, iouType=meta["iou_type"])
+    ev.params.useCats = meta["use_cats"]
+
+    import detectron2_tpu.evaluation._native as nat
+
+    nat_fn = nat.native_evaluate_img
+    if matcher == "python":
+        nat.native_evaluate_img = lambda *a, **k: None
+    try:
+        ev.evaluate()
+        ev.accumulate()
+        ev.summarize()
+    finally:
+        nat.native_evaluate_img = nat_fn
+
+    np.testing.assert_allclose(
+        ev.eval["precision"], _REF_DATA[f"{name}/precision"], atol=1e-9, err_msg=name
+    )
+    np.testing.assert_allclose(
+        ev.eval["recall"], _REF_DATA[f"{name}/recall"], atol=1e-9, err_msg=name
+    )
+    np.testing.assert_allclose(
+        ev.eval["scores"], _REF_DATA[f"{name}/scores"], atol=1e-9, err_msg=name
+    )
