@@ -52,7 +52,11 @@ def main():
         train=False,
     )
 
-    fwd = jax.jit(lambda p, b: model.apply(p, b, train=False))
+    from detectron2_tpu.utils.analysis import compile_with_flops
+
+    fwd, flops_per_batch = compile_with_flops(
+        lambda p, b: model.apply(p, b, train=False), params, batch
+    )
 
     import jax.numpy as _jnp
 
@@ -83,16 +87,20 @@ def main():
     dt = time.perf_counter() - t0
 
     img_s = B * iters / dt
-    print(
-        json.dumps(
-            {
-                "metric": "maskrcnn_r50fpn_inference_img_per_s",
-                "value": round(img_s, 2),
-                "unit": "img/s",
-                "vs_baseline": round(img_s / A100_BASELINE_IMG_S, 3),
-            }
-        )
-    )
+    record = {
+        "metric": "maskrcnn_r50fpn_inference_img_per_s",
+        "value": round(img_s, 2),
+        "unit": "img/s",
+        "vs_baseline": round(img_s / A100_BASELINE_IMG_S, 3),
+    }
+    if flops_per_batch > 0:
+        from detectron2_tpu.utils.analysis import mfu
+
+        record["tflops_per_im"] = round(flops_per_batch / B / 1e12, 3)
+        u = mfu(flops_per_batch, dt / iters, dtype=cfg.TPU.COMPUTE_DTYPE)
+        if u is not None:
+            record["mfu"] = round(u, 4)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

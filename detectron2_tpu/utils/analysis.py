@@ -15,7 +15,16 @@ import jax
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["FlopCountAnalysis", "flop_count_operators", "activation_count_operators", "parameter_count", "parameter_count_table"]
+__all__ = [
+    "FlopCountAnalysis",
+    "flop_count_operators",
+    "activation_count_operators",
+    "parameter_count",
+    "parameter_count_table",
+    "tpu_peak_flops",
+    "mfu",
+    "compile_with_flops",
+]
 
 
 def parameter_count(params) -> Dict[str, int]:
@@ -78,6 +87,60 @@ def activation_count_operators(fn: Callable, inputs) -> Dict[str, float]:
     """Approximate activation megacounts via output bytes of the program."""
     fca = FlopCountAnalysis(fn, inputs)
     return {"total_bytes_maccessed": fca.bytes_accessed() / 1e6}
+
+
+# Peak dense matmul throughput per chip, by jax device_kind. bf16 numbers;
+# f32 runs at half rate on the MXU. Sources: published TPU spec sheets.
+TPU_PEAK_BF16_FLOPS = {
+    "TPU v2": 23e12,  # per chip (2 cores x 11.5)
+    "TPU v3": 123e12,
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,  # v5e
+    "TPU v5": 459e12,  # v5p
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,  # v6e / Trillium
+    "TPU v6e": 918e12,
+    "TPU7x": 2307e12,  # Ironwood (bf16)
+}
+
+
+def tpu_peak_flops(device=None, dtype: str = "bfloat16"):
+    """Peak FLOP/s of one chip, or None if the device kind is unknown
+    (e.g. the CPU backend). f32 is half the bf16 MXU rate."""
+    if device is None:
+        device = jax.devices()[0]
+    peak = TPU_PEAK_BF16_FLOPS.get(getattr(device, "device_kind", ""))
+    if peak is None:
+        return None
+    if dtype in ("float32", "f32"):
+        peak = peak / 2
+    return peak
+
+
+def mfu(flops_per_step: float, step_time_s: float, device=None, dtype: str = "bfloat16"):
+    """Model flops utilization: achieved FLOP/s over the chip's peak.
+
+    ``flops_per_step`` should come from XLA cost analysis of the compiled
+    program (:class:`FlopCountAnalysis`), making this the exact definition —
+    not an analytic-formula estimate. Returns None off-TPU."""
+    peak = tpu_peak_flops(device, dtype)
+    if peak is None or step_time_s <= 0:
+        return None
+    return (flops_per_step / step_time_s) / peak
+
+
+def compile_with_flops(fn, *args, **jit_kwargs):
+    """jit-compile ``fn`` on ``args`` and return ``(compiled, flops)``.
+
+    The same executable serves the timed benchmark calls and XLA's exact
+    per-call flop count, so the MFU column measures the program that actually
+    ran. ``flops`` is 0.0 when the backend reports no cost analysis."""
+    compiled = jax.jit(fn, **jit_kwargs).lower(*args).compile()
+    try:
+        flops = float((compiled.cost_analysis() or {}).get("flops", 0.0))
+    except Exception:
+        flops = 0.0
+    return compiled, flops
 
 
 def find_unused_parameters(grads) -> list:

@@ -46,6 +46,29 @@ def test_flop_count_matmul():
     assert sum(ops.values()) > 0
 
 
+def test_mfu_helpers():
+    """compile_with_flops reports the exact XLA flop count of the compiled
+    executable, and mfu() divides achieved by the per-chip peak (None on the
+    CPU backend, an unknown device_kind)."""
+    from detectron2_tpu.utils.analysis import compile_with_flops, mfu, tpu_peak_flops
+
+    a = jnp.zeros((64, 128), jnp.float32)
+    b = jnp.zeros((128, 32), jnp.float32)
+    compiled, flops = compile_with_flops(lambda a, b: a @ b, a, b)
+    assert flops == 2 * 64 * 128 * 32
+    np.testing.assert_allclose(np.asarray(compiled(a, b)), 0.0)
+
+    class FakeDev:
+        device_kind = "TPU v5 lite"
+
+    assert tpu_peak_flops(FakeDev()) == 197e12
+    assert tpu_peak_flops(FakeDev(), dtype="float32") == 98.5e12
+    # 197e12 flops in 2 seconds on a 197e12-peak chip = 50% MFU
+    assert abs(mfu(197e12, 2.0, device=FakeDev()) - 0.5) < 1e-9
+    if jax.devices()[0].platform == "cpu":
+        assert tpu_peak_flops() is None and mfu(1e12, 1.0) is None
+
+
 def test_video_visualizer_stable_colors():
     from detectron2_tpu.utils.video_visualizer import VideoVisualizer
 

@@ -30,6 +30,12 @@ tx = build_optimizer(cfg, params)
 state = TrainState.create(params, tx)
 step = make_train_step(model)
 k = jax.random.PRNGKey(3)
+flops_per_step = 0.0
+try:
+    compiled = step.lower(state, batch, k).compile()
+    flops_per_step = float((compiled.cost_analysis() or {}).get("flops", 0.0))
+except Exception:
+    pass
 state, losses = step(state, batch, k)
 print("compile done; loss", float(np.asarray(losses["total_loss"])))
 t0 = time.perf_counter()
@@ -38,4 +44,11 @@ for i in range(N):
     state, losses = step(state, batch, jax.random.fold_in(k, i))
 tl = float(np.asarray(losses["total_loss"]))
 dt = (time.perf_counter()-t0)/N
-print(f"train step: {dt*1000:.1f} ms/iter batch {B} -> {B/dt:.2f} img/s (loss {tl:.2f})")
+msg = f"train step: {dt*1000:.1f} ms/iter batch {B} -> {B/dt:.2f} img/s (loss {tl:.2f})"
+if flops_per_step > 0:
+    from detectron2_tpu.utils.analysis import mfu
+    msg += f" | {flops_per_step/B/1e12:.3f} TFLOP/im"
+    u = mfu(flops_per_step, dt, dtype=cfg.TPU.COMPUTE_DTYPE)
+    if u is not None:
+        msg += f" | MFU {u*100:.1f}%"
+print(msg)

@@ -38,7 +38,11 @@ def main():
         train=False,
     )
 
-    fwd = jax.jit(lambda p, b: model.apply(p, b, train=False))
+    from detectron2_tpu.utils.analysis import compile_with_flops, mfu
+
+    fwd, flops_per_batch = compile_with_flops(
+        lambda p, b: model.apply(p, b, train=False), params, batch
+    )
 
     @jax.jit
     def _digest(o):
@@ -63,16 +67,18 @@ def main():
     dt = time.perf_counter() - t0
 
     img_s = B * iters / dt
-    print(
-        json.dumps(
-            {
-                "metric": "vitdet_b_maskrcnn_inference_img_per_s",
-                "value": round(img_s, 2),
-                "unit": "img/s",
-                "vs_baseline": round(img_s / VITDET_B_A100_IMG_S, 3),
-            }
-        )
-    )
+    record = {
+        "metric": "vitdet_b_maskrcnn_inference_img_per_s",
+        "value": round(img_s, 2),
+        "unit": "img/s",
+        "vs_baseline": round(img_s / VITDET_B_A100_IMG_S, 3),
+    }
+    if flops_per_batch > 0:
+        record["tflops_per_im"] = round(flops_per_batch / B / 1e12, 3)
+        u = mfu(flops_per_batch, dt / iters)
+        if u is not None:
+            record["mfu"] = round(u, 4)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

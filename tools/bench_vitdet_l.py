@@ -39,7 +39,11 @@ def main():
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(f"params: {n_params/1e6:.1f}M")
 
-    fwd = jax.jit(lambda p, b: model.apply(p, b, train=False))
+    from detectron2_tpu.utils.analysis import compile_with_flops, mfu
+
+    fwd, flops_per_batch = compile_with_flops(
+        lambda p, b: model.apply(p, b, train=False), params, batch
+    )
 
     @jax.jit
     def _digest(o):
@@ -66,16 +70,18 @@ def main():
     dt = time.perf_counter() - t0
 
     img_s = B * iters / dt
-    print(
-        json.dumps(
-            {
-                "metric": "vitdet_l_cascade_maskrcnn_inference_img_per_s",
-                "value": round(img_s, 2),
-                "unit": "img/s",
-                "vs_baseline": round(img_s / VITDET_L_CASCADE_A100_IMG_S, 3),
-            }
-        )
-    )
+    record = {
+        "metric": "vitdet_l_cascade_maskrcnn_inference_img_per_s",
+        "value": round(img_s, 2),
+        "unit": "img/s",
+        "vs_baseline": round(img_s / VITDET_L_CASCADE_A100_IMG_S, 3),
+    }
+    if flops_per_batch > 0:
+        record["tflops_per_im"] = round(flops_per_batch / B / 1e12, 3)
+        u = mfu(flops_per_batch, dt / iters)
+        if u is not None:
+            record["mfu"] = round(u, 4)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
