@@ -57,6 +57,7 @@ from detectron2_tpu.projects.densepose.structures import (
     DensePoseChartResultQuantized,
     DensePoseChartResultWithConfidences,
     DensePoseDataRelative,
+    DensePoseList,
     DensePoseTransformData,
     compress_quantized_densepose_chart_result,
     decompress_compressed_densepose_chart_result,
@@ -70,6 +71,15 @@ from detectron2_tpu.projects.densepose.converters import (
     densepose_chart_predictor_output_to_result,
     densepose_chart_predictor_output_to_result_with_confidences,
     predictor_output_with_coarse_segm_to_mask,
+)
+from detectron2_tpu.projects.densepose.bootstrap import (
+    DensePoseBaseSampler,
+    DensePoseConfidenceBasedSampler,
+    DensePoseUniformSampler,
+    InferenceBasedLoader,
+    MaskFromDensePoseSampler,
+    PredictionToGroundTruthSampler,
+    ScoreBasedFilter,
 )
 from detectron2_tpu.projects.densepose.dataset_mapper import (
     DensePoseBatchCollator,
@@ -110,7 +120,15 @@ __all__ = [
     "MeshDistanceProvider",
     "SmplDistanceProvider",
     "DensePoseDataRelative",
+    "DensePoseList",
     "DensePoseTransformData",
+    "DensePoseBaseSampler",
+    "DensePoseUniformSampler",
+    "DensePoseConfidenceBasedSampler",
+    "MaskFromDensePoseSampler",
+    "PredictionToGroundTruthSampler",
+    "ScoreBasedFilter",
+    "InferenceBasedLoader",
     "DensePoseChartResult",
     "DensePoseChartResultWithConfidences",
     "DensePoseChartResultQuantized",

@@ -20,6 +20,7 @@ import numpy as np
 
 __all__ = [
     "DensePoseDataRelative",
+    "DensePoseList",
     "DensePoseTransformData",
     "DensePoseChartResult",
     "DensePoseChartResultWithConfidences",
@@ -230,6 +231,48 @@ def _decode_rle(rle_spec) -> np.ndarray:
     from detectron2_tpu.evaluation.rle import rle_to_mask
 
     return rle_to_mask(rle_spec)
+
+
+class DensePoseList:
+    """Per-image list of DensePose annotations with their boxes (reference
+    structures/list.py:11-69): one DensePoseDataRelative (or None) per
+    detection, plus the XYXY_ABS boxes they are relative to."""
+
+    _TORCH_DEVICE_CPU = "cpu"  # API-parity constant (everything is host numpy)
+
+    def __init__(self, densepose_datas, boxes_xyxy_abs, image_size_hw):
+        assert len(densepose_datas) == len(boxes_xyxy_abs), (
+            f"Attempt to initialize DensePoseList with {len(densepose_datas)} "
+            f"DensePose datas and {len(boxes_xyxy_abs)} boxes"
+        )
+        self.densepose_datas = list(densepose_datas)
+        self.boxes_xyxy_abs = np.asarray(boxes_xyxy_abs, np.float32).reshape(-1, 4)
+        self.image_size_hw = tuple(image_size_hw)
+
+    def to(self, *args, **kwargs) -> "DensePoseList":
+        return self  # host-resident by design
+
+    def __iter__(self):
+        return iter(self.densepose_datas)
+
+    def __len__(self) -> int:
+        return len(self.densepose_datas)
+
+    def __getitem__(self, item):
+        if isinstance(item, int):
+            return self.densepose_datas[item]
+        if hasattr(item, "dtype") and getattr(item, "dtype", None) == np.bool_:
+            idx = np.nonzero(np.asarray(item))[0]
+        else:
+            idx = np.arange(len(self))[item]
+        datas = [self.densepose_datas[int(i)] for i in idx]
+        return DensePoseList(datas, self.boxes_xyxy_abs[idx], self.image_size_hw)
+
+    def __repr__(self) -> str:
+        return (
+            f"{self.__class__.__name__}(num_instances={len(self)}, "
+            f"image_height={self.image_size_hw[0]}, image_width={self.image_size_hw[1]})"
+        )
 
 
 # --------------------------------------------------------------------------

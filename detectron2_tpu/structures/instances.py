@@ -154,7 +154,14 @@ class Instances:
 
         ret = Instances(self._image_size)
         for k, v in self._fields.items():
-            if hasattr(v, "__getitem__") and not isinstance(v, (str, bytes)):
+            if isinstance(v, list) and not isinstance(item, slice):
+                # plain-list fields (e.g. per-detection map dicts) don't take
+                # numpy boolean/fancy indices — select elementwise instead
+                idx = np.asarray(item)
+                if idx.dtype == np.bool_:
+                    idx = np.nonzero(idx)[0]
+                ret.set(k, [v[int(i)] for i in idx])
+            elif hasattr(v, "__getitem__") and not isinstance(v, (str, bytes)):
                 ret.set(k, v[item])
             else:
                 ret.set(k, v)
