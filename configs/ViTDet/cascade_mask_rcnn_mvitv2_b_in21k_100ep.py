@@ -45,7 +45,7 @@ model.input_format = "RGB"
 # 2-conv RPN head; LN box/mask heads
 model.proposal_generator.head.conv_dims = (-1, -1)
 model.roi_heads.mask_head = L(MaskRCNNConvUpsampleHead)(
-    num_classes=80, conv_dims=(256, 256, 256, 256), conv_norm="LN"
+    num_classes=80, conv_dims=(256, 256, 256, 256, 256), conv_norm="LN"
 )
 
 model.roi_heads = L(CascadeROIHeads)(

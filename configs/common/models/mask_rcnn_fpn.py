@@ -75,7 +75,9 @@ model = L(GeneralizedRCNN)(
         mask_pooler_resolution=14,
         mask_head=L(MaskRCNNConvUpsampleHead)(
             num_classes=80,
-            conv_dims=(256, 256, 256, 256),
+            # reference convention: conv_dims[:-1] are the 4 convs,
+            # conv_dims[-1] the deconv (reference mask_rcnn_fpn.py:89)
+            conv_dims=(256, 256, 256, 256, 256),
         ),
     ),
     pixel_mean=(103.530, 116.280, 123.675),

@@ -30,6 +30,14 @@ model.backbone = L(SimpleFeaturePyramid)(
     norm="LN",
 )
 
+# LN box/mask heads, 2-conv RPN head, 4conv1fc box head
+# (reference mask_rcnn_vitdet.py:52-59)
+model.roi_heads.box_head.conv_norm = "LN"
+model.roi_heads.mask_head.conv_norm = "LN"
+model.proposal_generator.head.conv_dims = (-1, -1)
+model.roi_heads.box_head.conv_dims = (256, 256, 256, 256)
+model.roi_heads.box_head.fc_dims = (1024,)
+
 # ViTDet uses ImageNet RGB stats and LSJ-style square inputs
 model.pixel_mean = (123.675, 116.28, 103.53)
 model.pixel_std = (58.395, 57.12, 57.375)

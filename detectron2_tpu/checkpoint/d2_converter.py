@@ -278,6 +278,11 @@ def _alt_d2_names(name: str):
         yield name.replace(".mask_head.", ".mask_head.coarse_head.")
     if ".point_head." in name and ".mask_head." not in name:
         yield name.replace(".point_head.", ".mask_head.point_head.")
+    # multi-conv RPN head: the reference wraps >1 convs in an nn.Sequential
+    # named "conv" (rpn.py StandardRPNHead), so convN lives at conv.convN
+    m = re.search(r"rpn_head\.conv(\d+)\.", name)
+    if m:
+        yield name.replace(f"rpn_head.conv{m.group(1)}.", f"rpn_head.conv.conv{m.group(1)}.")
     m = re.search(r"(cls_subnet|bbox_subnet)\.(\d+)\.norm\.(\w+)$", name)
     if m and int(m.group(2)) % 2 == 0:
         i = int(m.group(2)) // 2
@@ -384,8 +389,17 @@ def convert_d2_state_dict(state_dict: Dict[str, Any], params) -> Tuple[Any, str]
             new_leaves.append(leaf)
 
     unused = sorted(set(state_dict.keys()) - used)
-    # the reference ignores pixel_mean/std and anchor buffers
-    unused = [u for u in unused if "pixel_mean" not in u and "pixel_std" not in u and "anchors" not in u and "cell_anchors" not in u]
+    # the reference ignores pixel_mean/std and anchor buffers;
+    # num_batches_tracked is torch-BN bookkeeping with no analogue here
+    unused = [
+        u
+        for u in unused
+        if "pixel_mean" not in u
+        and "pixel_std" not in u
+        and "anchors" not in u
+        and "cell_anchors" not in u
+        and not u.endswith("num_batches_tracked")
+    ]
 
     report_lines = [f"Loaded {len(used)}/{len(flat)} parameter tensors from d2 checkpoint."]
     if missing:

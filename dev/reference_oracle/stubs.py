@@ -17,6 +17,7 @@ Usage:  from stubs import install; install()   # before importing detectron2
 
 import copy
 import math
+import os
 import sys
 import types
 
@@ -90,6 +91,53 @@ class CfgNode(dict):
         import json
 
         return json.dumps(self, default=str)
+
+    @classmethod
+    def load_yaml_with_base(cls, filename, allow_unsafe=False):
+        """yaml load with recursive ``_BASE_`` resolution (fvcore
+        CfgNode.load_yaml_with_base semantics) — lets the reference's
+        merge_from_file work on the real config zoo under the stubs."""
+        import os
+
+        import yaml
+
+        with open(filename) as f:
+            try:
+                raw = yaml.safe_load(f)
+            except yaml.constructor.ConstructorError:
+                f.seek(0)
+                raw = yaml.unsafe_load(f)
+        raw = raw or {}
+
+        def leaf(v):
+            # yacs literal-evals yaml strings, so "(512, 1024)" merges as a
+            # tuple (yacs _decode_cfg_value semantics)
+            if isinstance(v, str):
+                import ast
+
+                try:
+                    w = ast.literal_eval(v)
+                except (ValueError, SyntaxError):
+                    return v
+                if isinstance(w, (tuple, list, dict, int, float, bool)) or w is None:
+                    return w
+            return v
+
+        def to_node(d):
+            if isinstance(d, dict):
+                return cls({k: to_node(v) for k, v in d.items()})
+            return leaf(d)
+
+        base = raw.pop("_BASE_", None)
+        node = to_node(raw)
+        if base is not None:
+            base = os.path.expanduser(base)
+            if not os.path.isabs(base):
+                base = os.path.join(os.path.dirname(filename), base)
+            base_cfg = cls.load_yaml_with_base(base, allow_unsafe)
+            base_cfg.merge_from_other_cfg(node)
+            return base_cfg
+        return node
 
     @classmethod
     def load_cfg(cls, s):  # pragma: no cover
@@ -414,6 +462,7 @@ def install():
     fv_nn.sigmoid_focal_loss_star = _sigmoid_focal_loss_star
     fv_nn.sigmoid_focal_loss_star_jit = _sigmoid_focal_loss_star
     fv_dist.differentiable_all_reduce = lambda t: t
+    fv_dist.differentiable_all_gather = lambda t: [t]  # world size 1
     fv_cfg.CfgNode = CfgNode
     fv_reg.Registry = Registry
     fv_hb.HistoryBuffer = HistoryBuffer
@@ -536,23 +585,227 @@ def install():
     iop_fio.OneDrivePathHandler = type("OneDrivePathHandler", (PathHandler,), {})
     iop_fio.file_lock = lambda p: open("/dev/null")
 
+    # ---- pkg_resources (detectron2/model_zoo/model_zoo.py:4 uses
+    # resource_filename to locate its bundled configs)
+    pr = mod("pkg_resources")
+
+    def _resource_filename(package, resource):
+        import importlib
+
+        m = importlib.import_module(package)
+        path = os.path.join(os.path.dirname(m.__file__), resource)
+        if not os.path.exists(path) and package == "detectron2.model_zoo":
+            # in-repo checkout: detectron2/model_zoo/configs is a symlink the
+            # reference's setup.py creates at build time; fall back to the
+            # repo's real configs tree
+            alt = os.path.join(os.path.dirname(m.__file__), "..", "..", resource)
+            if os.path.exists(alt):
+                return os.path.normpath(alt)
+        return path
+
+    pr.resource_filename = _resource_filename
+
+    # the Rethinking-BatchNorm configs name a torch alias that does not
+    # exist in modern torch (retinanet_SyncBNhead.py:9 nn.SyncBatchNorm2d);
+    # NB: install() later does a local `import torch.nn as nn`, so reference
+    # torch.nn explicitly here
+    if not hasattr(torch.nn, "SyncBatchNorm2d"):
+        torch.nn.SyncBatchNorm2d = torch.nn.SyncBatchNorm
+
+    # ---- fairscale (MViT/ViT wrap blocks in checkpoint_wrapper when
+    # use_act_checkpoint; identity is fine for state_dict/eval purposes)
+    fs = mod("fairscale")
+    fs_nn = mod("fairscale.nn")
+    fs_ckpt = mod("fairscale.nn.checkpoint")
+    fs_ckpt.checkpoint_wrapper = lambda module, *a, **k: module
+    fs.nn = fs_nn
+    fs_nn.checkpoint = fs_ckpt
+
+    # ---- compiled-extension shims: module-level `from X import _C` guards
+    # (detectron2/layers/deform_conv.py:506, tensormask/__init__.py) succeed,
+    # so the module classes register their parameters; the custom ops
+    # themselves are never called when only state_dict shapes are read.
+    for _cname in ("detectron2._C", "tensormask._C"):
+        if _cname not in sys.modules:
+            _cm = types.ModuleType(_cname)
+            _cm._d2tpu_stub = True
+            sys.modules[_cname] = _cm
+
     om = mod("omegaconf")
 
+    import re as _re
+
+    _INTERP = _re.compile(r"^\$\{([^}]+)\}$")
+
     class DictConfig(dict):
-        def __init__(self, content=None, flags=None):
-            super().__init__(content or {})
+        """dict with attribute access, parent-tracked ``${..path}``
+        interpolation resolution, and the _metadata hook the reference's
+        instantiate() checks for dataclass-backed structured configs."""
+
+        def __init__(self, content=None, flags=None, parent=None):
+            super().__init__()
+            self.__dict__["_metadata"] = types.SimpleNamespace(object_type=None)
+            self.__dict__["_parent"] = None
+            for k, v in (content or {}).items():
+                self[k] = v
+
+        # -- parent/interpolation machinery -------------------------------
+        def __setitem__(self, k, v):
+            # recursively wrap plain containers (omegaconf auto-conversion):
+            # nested dict literals in config files must support attribute
+            # access and must parent their children for ${..} resolution
+            if type(v) is dict:
+                v = DictConfig(v)
+            elif type(v) is list:
+                v = ListConfig([DictConfig(u) if type(u) is dict else u for u in v])
+            super().__setitem__(k, v)
+            if isinstance(v, DictConfig):
+                v.__dict__["_parent"] = self
+            elif isinstance(v, ListConfig):
+                # a list IS a level in omegaconf's interpolation tree
+                v._parent = self
+                for u in v:
+                    if isinstance(u, DictConfig):
+                        u.__dict__["_parent"] = v
+
+        def update(self, *args, **kwargs):
+            # route through __setitem__ so wrapping/parenting still happens
+            # (the reference's cascade_rcnn.py mutates via .update())
+            for k, v in dict(*args, **kwargs).items():
+                self[k] = v
+
+        def _root(self):
+            node = self
+            while getattr(node, "_parent", None) is not None:
+                node = node._parent if isinstance(node, ListConfig) else node.__dict__["_parent"]
+            return node
+
+        def _resolve(self, v):
+            if isinstance(v, str):
+                m = _INTERP.match(v)
+                if m:
+                    expr = m.group(1)
+                    ndots = len(expr) - len(expr.lstrip("."))
+                    if ndots == 0:
+                        node = self._root()
+                    else:
+                        node = self
+                        for _ in range(ndots - 1):
+                            node = node._parent if isinstance(node, ListConfig) else node.__dict__["_parent"]
+                    cur = node
+                    for part in expr[ndots:].split("."):
+                        cur = cur[part]
+                    return cur
+            return v
+
+        def __getitem__(self, k):
+            return self._resolve(super().__getitem__(k))
+
+        def get(self, k, default=None):
+            try:
+                return self[k]
+            except KeyError:
+                return default
+
+        def items(self):
+            return [(k, self[k]) for k in super().keys()]
+
+        def values(self):
+            return [self[k] for k in super().keys()]
+
+        # -- attribute access ----------------------------------------------
+        def __getattr__(self, name):
+            try:
+                return self[name]
+            except KeyError:
+                raise AttributeError(name)
+
+        def __setattr__(self, name, value):
+            self[name] = value
+
+        def __delattr__(self, name):
+            try:
+                del self[name]
+            except KeyError:
+                raise AttributeError(name)
+
+        def __deepcopy__(self, memo):
+            new = type(self)()
+            memo[id(self)] = new
+            for k in super().keys():
+                new[k] = copy.deepcopy(super().__getitem__(k), memo)
+            return new
 
     class ListConfig(list):
-        pass
+        def __init__(self, content=None, flags=None):
+            super().__init__(content or [])
 
     class OmegaConf:
         @staticmethod
         def create(x=None, flags=None):
-            return DictConfig(x or {})
+            def wrap(v):
+                if isinstance(v, DictConfig) or isinstance(v, ListConfig):
+                    return v
+                if isinstance(v, dict):
+                    return DictConfig({k: wrap(u) for k, u in v.items()})
+                if isinstance(v, (list, tuple)):
+                    return ListConfig([wrap(u) for u in v])
+                return v
+
+            return wrap(x if x is not None else {})
 
         @staticmethod
-        def to_container(x, **k):
-            return dict(x)
+        def to_container(x, resolve=False, **k):
+            def unwrap(v):
+                if isinstance(v, dict):
+                    return {kk: unwrap(u) for kk, u in v.items()}
+                if isinstance(v, (list, tuple)):
+                    return [unwrap(u) for u in v]
+                return v
+
+            return unwrap(x)
+
+        @staticmethod
+        def is_config(x):
+            return isinstance(x, (DictConfig, ListConfig))
+
+        @staticmethod
+        def select(cfg, key, default=None):
+            node = cfg
+            for part in key.split("."):
+                if not isinstance(node, dict) or part not in node:
+                    return default
+                node = node[part]
+            return node
+
+        @staticmethod
+        def update(cfg, key, value, merge=True):
+            parts = key.split(".")
+            node = cfg
+            for part in parts[:-1]:
+                if part not in node or not isinstance(node[part], dict):
+                    node[part] = DictConfig()
+                node = node[part]
+            node[parts[-1]] = value
+
+        @staticmethod
+        def merge(*cfgs):
+            out = DictConfig()
+
+            def _merge(dst, src):
+                for k, v in src.items():
+                    if isinstance(v, dict) and isinstance(dst.get(k), dict):
+                        _merge(dst[k], v)
+                    else:
+                        dst[k] = v
+
+            for c in cfgs:
+                _merge(out, c)
+            return out
+
+        @staticmethod
+        def to_object(x):
+            return OmegaConf.to_container(x)
 
     om.DictConfig = DictConfig
     om.ListConfig = ListConfig
