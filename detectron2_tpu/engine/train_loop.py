@@ -107,7 +107,11 @@ class TrainerBase:
             h.before_train()
 
     def after_train(self):
-        self.storage.iter = self.iter
+        # self.storage is None when this trainer is driven by an outer
+        # trainer (DefaultTrainer calls the inner SimpleTrainer's run_step /
+        # after_train directly, and only the outer loop opens EventStorage)
+        if self.storage is not None:
+            self.storage.iter = self.iter
         for h in self._hooks:
             h.after_train()
 
