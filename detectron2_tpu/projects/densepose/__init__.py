@@ -81,6 +81,16 @@ from detectron2_tpu.projects.densepose.bootstrap import (
     PredictionToGroundTruthSampler,
     ScoreBasedFilter,
 )
+from detectron2_tpu.projects.densepose.video import (
+    FirstKFramesSelector,
+    FrameSelectionStrategy,
+    LastKFramesSelector,
+    RandomKFramesSelector,
+    VideoKeyframeDataset,
+    frame_selector_from_strategy,
+    read_keyframe_helper_data,
+    video_list_from_file,
+)
 from detectron2_tpu.projects.densepose.dataset_mapper import (
     DensePoseBatchCollator,
     DensePoseDatasetMapper,
