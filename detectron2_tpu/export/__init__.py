@@ -9,6 +9,9 @@ pure jittable function of fixed-shape arrays, so export is first-class:
   serialize the executable (jax AOT; the TorchScript analogue).
 - :func:`export_stablehlo` — serialize to StableHLO via jax.export for
   framework-independent deployment (the ONNX analogue).
+- :func:`save_compiled` / :func:`load_compiled` — persist the compiled PJRT
+  executable itself, so a serving process starts with ZERO compilation (the
+  self-contained-artifact role of the reference's caffe2 deploy path).
 - :class:`TracingAdapter` — API-parity shim flattening batch-dict I/O to a
   tensor-only signature.
 """
@@ -17,7 +20,16 @@ from detectron2_tpu.export.api import (
     TracingAdapter,
     aot_compile,
     export_stablehlo,
+    load_compiled,
     load_stablehlo,
+    save_compiled,
 )
 
-__all__ = ["TracingAdapter", "aot_compile", "export_stablehlo", "load_stablehlo"]
+__all__ = [
+    "TracingAdapter",
+    "aot_compile",
+    "export_stablehlo",
+    "load_stablehlo",
+    "save_compiled",
+    "load_compiled",
+]

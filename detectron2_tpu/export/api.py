@@ -9,7 +9,14 @@ import jax.numpy as jnp
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["TracingAdapter", "aot_compile", "export_stablehlo", "load_stablehlo"]
+__all__ = [
+    "TracingAdapter",
+    "aot_compile",
+    "export_stablehlo",
+    "load_stablehlo",
+    "save_compiled",
+    "load_compiled",
+]
 
 
 class TracingAdapter:
@@ -82,3 +89,61 @@ def aot_compile(model_apply: Callable, example_batch: Dict[str, Any]):
         "AOT compiled: %s FLOPs estimated", compiled.cost_analysis().get("flops", "n/a") if compiled.cost_analysis() else "n/a"
     )
     return compiled
+
+
+def save_compiled(compiled, path: str) -> None:
+    """Persist an AOT-compiled executable (`aot_compile`'s return) to disk.
+
+    This is the deploy story the reference's caffe2/torchscript exports
+    served (a self-contained serving artifact): the file carries the
+    device-specific PJRT executable plus the input/output pytree structure,
+    so a serving process `load_compiled`s it and runs inference with ZERO
+    compilation (vs aot_compile, which still compiles once per process, or
+    StableHLO exports, which re-compile at load). Executable blobs are
+    topology- and compiler-version-specific — regenerate per fleet rollout.
+    """
+    import pickle
+
+    from jax.experimental import serialize_executable
+
+    payload, in_tree, out_tree = serialize_executable.serialize(compiled)
+    # record how many devices the executable was compiled for: the loader
+    # must hand deserialize_and_load exactly that many execution devices
+    # (its default is ALL addressable devices, which breaks a single-device
+    # serving executable on a multi-device host)
+    try:
+        num_devices = len(compiled._executable.xla_executable.local_devices())
+    except Exception:
+        num_devices = 1
+    with open(path, "wb") as f:
+        pickle.dump(
+            {
+                "payload": payload,
+                "in_tree": in_tree,
+                "out_tree": out_tree,
+                "num_devices": num_devices,
+            },
+            f,
+        )
+    logger.info("Serialized compiled executable (%d-device) to %s", num_devices, path)
+
+
+def load_compiled(path: str, devices=None):
+    """Load an executable written by `save_compiled`; returns the compiled
+    callable with the original (pytree) calling convention.
+
+    Args:
+        devices: execution devices; defaults to the first N local devices,
+            N = the device count recorded at save time.
+    """
+    import pickle
+
+    from jax.experimental import serialize_executable
+
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    if devices is None:
+        devices = jax.devices()[: blob.get("num_devices", 1)]
+    return serialize_executable.deserialize_and_load(
+        blob["payload"], blob["in_tree"], blob["out_tree"], execution_devices=devices
+    )

@@ -7,7 +7,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from detectron2_tpu.export import TracingAdapter, aot_compile, export_stablehlo
+from detectron2_tpu.export import (
+    TracingAdapter,
+    aot_compile,
+    export_stablehlo,
+    load_compiled,
+    save_compiled,
+)
 
 
 def _toy_model(batch):
@@ -64,6 +70,21 @@ def test_aot_compile_runs():
     batch = _batch()
     compiled = aot_compile(_toy_model, batch)
     out = compiled(batch)
+    ref = _toy_model(batch)
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]), rtol=1e-6)
+
+
+def test_save_load_compiled_executable(tmp_path):
+    # the persistent-executable deploy path: serialize the compiled PJRT
+    # executable, reload in-place, and get identical outputs with no re-trace
+    batch = _batch()
+    compiled = aot_compile(_toy_model, batch)
+    path = tmp_path / "model.jaxexec"
+    save_compiled(compiled, str(path))
+    assert path.stat().st_size > 100
+    restored = load_compiled(str(path))
+    out = restored(batch)
     ref = _toy_model(batch)
     for k in ref:
         np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]), rtol=1e-6)

@@ -7,6 +7,10 @@ TPU-native artifacts):
   portable StableHLO artifact loadable by any PJRT runtime (jax.export).
 - ``--format aot``: ahead-of-time compile for this host's devices and report
   cost analysis (pairs with JAX's persistent compilation cache for serving).
+- ``--format executable``: AOT compile AND serialize the PJRT executable
+  itself (``--output model.jaxexec``) — a serving process loads it with
+  ``detectron2_tpu.export.load_compiled`` and runs with zero compilation.
+  Device- and compiler-version-specific; regenerate per rollout.
 
 Example:
     python tools/deploy/export_model.py \
@@ -25,7 +29,7 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config-file", required=True)
     ap.add_argument("--output", default=None)
-    ap.add_argument("--format", choices=["stablehlo", "aot"], default="stablehlo")
+    ap.add_argument("--format", choices=["stablehlo", "aot", "executable"], default="stablehlo")
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--height", type=int, default=800)
     ap.add_argument("--width", type=int, default=1344)
@@ -37,7 +41,7 @@ def main():
 
     from detectron2_tpu.checkpoint import DetectionCheckpointer
     from detectron2_tpu.config import get_cfg
-    from detectron2_tpu.export import aot_compile, export_stablehlo
+    from detectron2_tpu.export import aot_compile, export_stablehlo, save_compiled
     from detectron2_tpu.modeling import build_model
 
     cfg = get_cfg()
@@ -69,6 +73,10 @@ def main():
         cost = compiled.cost_analysis()
         if cost:
             print("estimated flops:", cost.get("flops"))
+        if args.format == "executable":
+            out = args.output or "model.jaxexec"
+            save_compiled(compiled, out)
+            print("serialized executable to", out)
 
 
 if __name__ == "__main__":

@@ -20,17 +20,24 @@ def main():
     args = ap.parse_args()
 
     import jax.numpy as jnp
-    from jax import export as jax_export
 
-    with open(args.artifact, "rb") as f:
-        restored = jax_export.deserialize(bytearray(f.read()))
+    if args.artifact.endswith(".jaxexec"):
+        # persistent-executable artifact: zero compilation at load
+        from detectron2_tpu.export import load_compiled
+
+        call = load_compiled(args.artifact)
+    else:
+        from jax import export as jax_export
+
+        with open(args.artifact, "rb") as f:
+            call = jax_export.deserialize(bytearray(f.read())).call
 
     B, H, W = args.batch, args.height, args.width
     batch = {
         "image": jnp.zeros((B, H, W, 3), jnp.uint8),
         "image_sizes": jnp.tile(jnp.asarray([[H, W]], jnp.int32), (B, 1)),
     }
-    out = restored.call(batch)
+    out = call(batch)
     for k, v in out.items():
         print(k, getattr(v, "shape", type(v)))
 
