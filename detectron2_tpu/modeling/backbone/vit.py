@@ -129,8 +129,8 @@ class Attention(nn.Module):
 
         from detectron2_tpu.ops.attention import attention_with_rel_pos
 
-        # global blocks at detection resolutions (S >= 1024) take the Pallas
-        # flash path on TPU; windowed blocks (S = 196) use the XLA einsum
+        # both the global blocks (S = 4096) and the windowed blocks (S = 196)
+        # take the Pallas flash path on TPU; elsewhere the XLA einsum runs
         x = attention_with_rel_pos(q, k, v, rel_h, rel_w, scale=scale)
         x = x.reshape(B, self.num_heads, H * W, head_dim).transpose(0, 2, 1, 3).reshape(B, H, W, self.dim)
         return nn.Dense(self.dim, dtype=x.dtype, name="proj")(x)

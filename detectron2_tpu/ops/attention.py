@@ -29,6 +29,18 @@ def _attn_xla(q, k, v, rel_h, rel_w, scale):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def _attn_hybrid(q, k, v, rel_h, rel_w, scale):
+    import os
+
+    # v2 (pipelined k-grid) wins standalone on the S=4096 global shape
+    # (17.3 vs 69.1 ms at B=96) but LOSES end-to-end in ViTDet-B (28.9 vs
+    # 31.9 img/s): its transposed bias-factor layout forces lane-crossing
+    # relayouts of [B, 4096, 64] factors that XLA otherwise fuses away.
+    # Keep v1 the default until the factor producers emit that layout
+    # natively; A/B with D2T_FLASH_V2=1.
+    if os.environ.get("D2T_FLASH_V2", "0") == "1":
+        from detectron2_tpu.ops.pallas.flash_attention import flash_attention_v2
+
+        return flash_attention_v2(q, k, v, rel_h, rel_w, scale=scale)
     from detectron2_tpu.ops.pallas.flash_attention import flash_attention
 
     return flash_attention(q, k, v, rel_h, rel_w, scale=scale)
@@ -67,7 +79,15 @@ def attention_with_rel_pos(
     """
     S = q.shape[1]
     if use_flash == "auto":
-        flash = jax.default_backend() == "tpu" and S >= 1024 and S % 256 == 0
+        on_tpu = jax.default_backend() == "tpu"
+        # global ViT blocks: S >= 1024, multi-block online softmax
+        big = S >= 1024 and S % 256 == 0
+        # windowed ViT blocks (S = 196 at ViTDet scale): single-block flash.
+        # The XLA path materializes [B*heads*windows, S, S] f32 scores in HBM
+        # (~1.8 GB per ViT-B block at 1024^2) — profiled at ~55 ms/batch-8
+        # across the 8 windowed blocks, vs keeping the tile in VMEM.
+        small = S <= 512
+        flash = on_tpu and (big or small)
     else:
         flash = use_flash == "always"
     if flash:

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["flash_attention"]
+__all__ = ["flash_attention", "flash_attention_v2"]
 
 
 def _kernel(q_ref, k_ref, v_ref, rel_h_ref, rel_w_ref, o_ref, *, block_k, w_k, scale, has_bias):
@@ -90,6 +90,152 @@ def _kernel(q_ref, k_ref, v_ref, rel_h_ref, rel_w_ref, o_ref, *, block_k, w_k, s
 
     m, l, acc = jax.lax.fori_loop(0, n_kb, body, (m, l, acc))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+def _kernel_v2(
+    q_ref, k_ref, v_ref, rel_ht_ref, rel_wt_ref, o_ref, m_ref, l_ref, acc_ref, bw_ref,
+    *, w_k, scale, has_bias, k_axis=2,
+):
+    """One (batch-head, q-block, k-block) grid step; k innermost.
+
+    vs _kernel: the k loop is a grid dimension, so Mosaic double-buffers the
+    k/v (and rel) block DMAs against compute instead of holding all of k/v
+    resident; the bias factors arrive TRANSPOSED ([Hk, S] / [Wk, S] — the
+    k-block's r = block_k // w_k rows of rel_h slice on the second-last dim,
+    which Mosaic allows where lane slicing isn't) so the per-step h-bias
+    expansion is an [r, bk] 0/1 matmul — Hk/r-fold smaller than v1's
+    [Hk, bk] in-kernel selection matmul; the k-invariant w-factor tile is
+    built once per q-block and cached in VMEM scratch. Online-softmax state
+    (m, l, acc) lives in scratch across the k steps."""
+    kk = pl.program_id(k_axis)
+    n_k = pl.num_programs(k_axis)
+    bq = q_ref.shape[1]
+    bk = k_ref.shape[1]
+
+    @pl.when(kk == 0)
+    def _init():
+        m_ref[...] = jnp.full(m_ref.shape, -jnp.inf, m_ref.dtype)
+        l_ref[...] = jnp.zeros(l_ref.shape, l_ref.dtype)
+        acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+        if has_bias:
+            # bias_w[q, j] = rel_w[q, j % w_k]: k-block invariant
+            kkw = jax.lax.broadcasted_iota(jnp.int32, (w_k, bk), 1)
+            roww = jax.lax.broadcasted_iota(jnp.int32, (w_k, bk), 0)
+            expand_w = (kkw % w_k == roww).astype(jnp.float32)
+            bw_ref[...] = jax.lax.dot_general(
+                rel_wt_ref[0].astype(jnp.float32), expand_w,
+                (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )  # [bq, bk] from [w_k, bq] x [w_k, bk]
+
+    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)
+    s = jax.lax.dot_general(
+        q, k_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bq, bk]
+
+    if has_bias:
+        r = rel_ht_ref.shape[1]  # bias-grid rows covered by this k block
+        kk_h = jax.lax.broadcasted_iota(jnp.int32, (r, bk), 1)
+        row_h = jax.lax.broadcasted_iota(jnp.int32, (r, bk), 0)
+        expand_h = (kk_h // w_k == row_h).astype(jnp.float32)  # [r, bk]
+        s += jax.lax.dot_general(
+            rel_ht_ref[0].astype(jnp.float32), expand_h,
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )  # [bq, bk] from [r, bq] x [r, bk]
+        s += bw_ref[...]
+
+    m_prev = m_ref[...]
+    m_new = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    corr = jnp.exp(m_prev - m_new)
+    m_ref[...] = m_new
+    l_ref[...] = l_ref[...] * corr + p.sum(axis=-1, keepdims=True)
+    acc_ref[...] = acc_ref[...] * corr + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kk == n_k - 1)
+    def _done():
+        o_ref[0] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
+
+
+def flash_attention_v2(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    rel_h: Optional[jnp.ndarray] = None,
+    rel_w: Optional[jnp.ndarray] = None,
+    *,
+    scale: float,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pipelined-grid variant of :func:`flash_attention` (same contract).
+
+    Falls back to :func:`flash_attention` when the bias-row split doesn't
+    meet Mosaic's sublane constraint (r = block_k // w_k must be a multiple
+    of 8, or the k loop must be a single block)."""
+    B, S, D = q.shape
+    has_bias = rel_h is not None
+    block_q = min(block_q, S)
+    block_k = min(block_k, S)
+    if has_bias:
+        w_k = rel_w.shape[-1]
+        h_k = rel_h.shape[-1]
+        assert h_k * w_k == S, (h_k, w_k, S)
+        if block_k % w_k != 0:
+            block_k = w_k * max(1, block_k // w_k)
+        r = block_k // w_k
+        if S // block_k == 1 or r % 8 != 0:
+            # single k block (windowed ViT shapes, S=196): there is nothing
+            # to pipeline and the factor transpose + scratch init are pure
+            # overhead — v1 measures faster end-to-end (31.9 vs 27.8 img/s
+            # on ViTDet-B). r % 8 != 0: rel_h's per-k-block row slice would
+            # violate Mosaic's (8, 128) block tiling rule. v1 holds the
+            # whole factor in VMEM and selects rows in-kernel.
+            return flash_attention(
+                q, k, v, rel_h, rel_w, scale=scale,
+                block_q=block_q, block_k=block_k, interpret=interpret,
+            )
+        # transposed factor layout: the k-block slice rides the second-last
+        # (sublane) dim, where r-row blocks are legal
+        rel_ht = rel_h.swapaxes(1, 2)  # [B, Hk, S]
+        rel_wt = rel_w.swapaxes(1, 2)  # [B, Wk, S]
+    else:
+        w_k = block_k
+        r = 1
+        rel_ht = jnp.zeros((B, 1, S), q.dtype)
+        rel_wt = jnp.zeros((B, 1, S), q.dtype)
+    assert S % block_q == 0 and S % block_k == 0, (S, block_q, block_k)
+
+    n_k = S // block_k
+    grid = (B, S // block_q, n_k)
+    kernel = functools.partial(_kernel_v2, w_k=w_k, scale=scale, has_bias=has_bias)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
+            (
+                pl.BlockSpec((1, r, block_q), lambda b, i, j: (b, j, i))
+                if has_bias
+                else pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i))
+            ),
+            pl.BlockSpec((1, rel_wt.shape[1], block_q), lambda b, i, j: (b, 0, i)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, S, D), v.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+            pltpu.VMEM((block_q, block_k), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, rel_ht, rel_wt)
 
 
 def flash_attention(
