@@ -14,6 +14,7 @@ from flax import linen as nn
 
 from detectron2_tpu.modeling.backbone import Backbone
 from detectron2_tpu.ops.nms import batched_nms_padded
+from detectron2_tpu.ops.topk import top_k_padded
 
 __all__ = ["DenseDetector", "permute_to_N_HWA_K", "decode_dense_predictions_padded"]
 
@@ -50,7 +51,10 @@ def decode_dense_predictions_padded(
         HWA = anchors_l.shape[0]
         flat = logits_l.reshape(B, HWA * C)
         k = min(topk_candidates, HWA * C)
-        top_scores, top_idx = jax.lax.top_k(flat, k)  # [B, k]
+        # [B, HWA*C] is up to 12M entries/level: TPU takes the approx_max_k
+        # partial reduction (exact lax.top_k full-sorted this at ~600 ms per
+        # RetinaNet batch); CPU stays exact (see ops/topk.py)
+        top_scores, top_idx = top_k_padded(flat, k)  # [B, k]
         anchor_idx = top_idx // C
         cls_idx = top_idx % C
 
