@@ -82,6 +82,7 @@ from detectron2_tpu.projects.densepose.bootstrap import (
     ScoreBasedFilter,
 )
 from detectron2_tpu.projects.densepose.video import (
+    AllFramesSelector,
     FirstKFramesSelector,
     FrameSelectionStrategy,
     LastKFramesSelector,
@@ -90,6 +91,54 @@ from detectron2_tpu.projects.densepose.video import (
     frame_selector_from_strategy,
     read_keyframe_helper_data,
     video_list_from_file,
+)
+from detectron2_tpu.projects.densepose.build import (
+    BootstrapDatasetFactoryCatalog,
+    CombinedDataLoader,
+    DatasetType,
+    ImageListDataset,
+    ImageResizeTransform,
+    build_bootstrap_dataset,
+    build_combined_loader,
+    build_combined_train_loader,
+    build_data_filter,
+    build_data_sampler,
+    build_frame_selector,
+    build_inference_based_loader,
+    build_inference_based_loaders,
+    build_transform,
+    get_category_to_class_mapping,
+    get_class_to_mesh_name_mapping,
+    has_inference_based_loaders,
+    pack_densepose_points,
+    pseudo_to_train_sample,
+)
+from detectron2_tpu.projects.densepose.datasets import (
+    DENSEPOSE_LVIS_DATASETS,
+    load_densepose_lvis_json,
+    register_chimpnsee,
+    register_densepose_lvis,
+)
+from detectron2_tpu.projects.densepose.meshes import (
+    Mesh,
+    MeshCatalog,
+    MeshInfo,
+    create_mesh,
+    register_mesh,
+    register_meshes,
+)
+from detectron2_tpu.projects.densepose.trainer import (
+    SampleCountingLoader,
+    SampleCountMetricPrinter,
+    Trainer,
+    build_bootstrap_predictor,
+)
+from detectron2_tpu.projects.densepose.config import (
+    add_bootstrap_config,
+    add_dataset_category_config,
+    add_evaluation_config,
+    get_bootstrap_dataset_config,
+    load_bootstrap_config,
 )
 from detectron2_tpu.projects.densepose.dataset_mapper import (
     DensePoseBatchCollator,
@@ -107,6 +156,45 @@ from detectron2_tpu.projects.densepose.vis import (
 
 __all__ = [
     "add_densepose_config",
+    "add_bootstrap_config",
+    "add_dataset_category_config",
+    "add_evaluation_config",
+    "get_bootstrap_dataset_config",
+    "load_bootstrap_config",
+    "AllFramesSelector",
+    "BootstrapDatasetFactoryCatalog",
+    "CombinedDataLoader",
+    "DatasetType",
+    "ImageListDataset",
+    "ImageResizeTransform",
+    "build_bootstrap_dataset",
+    "build_bootstrap_predictor",
+    "build_combined_loader",
+    "build_combined_train_loader",
+    "build_data_filter",
+    "build_data_sampler",
+    "build_frame_selector",
+    "build_inference_based_loader",
+    "build_inference_based_loaders",
+    "build_transform",
+    "get_category_to_class_mapping",
+    "get_class_to_mesh_name_mapping",
+    "has_inference_based_loaders",
+    "pack_densepose_points",
+    "pseudo_to_train_sample",
+    "SampleCountingLoader",
+    "SampleCountMetricPrinter",
+    "Trainer",
+    "DENSEPOSE_LVIS_DATASETS",
+    "load_densepose_lvis_json",
+    "register_chimpnsee",
+    "register_densepose_lvis",
+    "Mesh",
+    "MeshCatalog",
+    "MeshInfo",
+    "create_mesh",
+    "register_mesh",
+    "register_meshes",
     "DensePoseV1ConvXHead",
     "DensePoseDeepLabHead",
     "DensePoseChartPredictor",

@@ -1,12 +1,94 @@
-"""DensePose config keys (reference projects/DensePose/densepose/config.py
-add_densepose_head_config / add_densepose_head_cse_config — the modeling
-subset; bootstrap/data-sampler keys are data-pipeline-only and omitted)."""
+"""DensePose config keys (reference projects/DensePose/densepose/config.py:
+add_densepose_head_config / add_densepose_head_cse_config (modeling),
+add_evaluation_config, add_bootstrap_config / get_bootstrap_dataset_config /
+load_bootstrap_config (pseudo-label training pipeline))."""
 
 from detectron2_tpu.config.cfg_node import CfgNode as CN
 
 
+def add_evaluation_config(cfg):
+    """(reference config.py:22-47)."""
+    cfg.DENSEPOSE_EVALUATION = CN()
+    # "iou": bbox-IoU matching; "cse": GPS matching via embeddings
+    cfg.DENSEPOSE_EVALUATION.TYPE = "iou"
+    # storage for multi-process evaluation intermediates; this framework's
+    # evaluator gathers host-side numpy (no torch shared memory), so "none"
+    # and "ram" coincide; "file" spills per-process
+    cfg.DENSEPOSE_EVALUATION.STORAGE = "none"
+    # lower threshold -> more matches -> higher AP
+    cfg.DENSEPOSE_EVALUATION.MIN_IOU_THRESHOLD = 0.5
+    cfg.DENSEPOSE_EVALUATION.DISTRIBUTED_INFERENCE = True
+    # mesh-alignment eval on vertex embeddings (CSE only)
+    cfg.DENSEPOSE_EVALUATION.EVALUATE_MESH_ALIGNMENT = False
+    cfg.DENSEPOSE_EVALUATION.MESH_ALIGNMENT_MESH_NAMES = []
+
+
+def add_bootstrap_config(cfg):
+    """(reference config.py:50-56)."""
+    cfg.BOOTSTRAP_DATASETS = []
+    cfg.BOOTSTRAP_MODEL = CN()
+    cfg.BOOTSTRAP_MODEL.WEIGHTS = ""
+    # the reference selects a CUDA device here; the bootstrap model runs on
+    # whatever backend jax selected (kept for config-surface parity)
+    cfg.BOOTSTRAP_MODEL.DEVICE = "tpu"
+
+
+def get_bootstrap_dataset_config() -> CN:
+    """One BOOTSTRAP_DATASETS entry schema (reference config.py:59-86)."""
+    _C = CN()
+    _C.DATASET = ""
+    # ratio used to mix data loaders
+    _C.RATIO = 0.1
+    # image loader
+    _C.IMAGE_LOADER = CN(new_allowed=True)
+    _C.IMAGE_LOADER.TYPE = ""
+    _C.IMAGE_LOADER.BATCH_SIZE = 4
+    _C.IMAGE_LOADER.NUM_WORKERS = 4
+    _C.IMAGE_LOADER.CATEGORIES = []
+    _C.IMAGE_LOADER.MAX_COUNT_PER_CATEGORY = 1_000_000
+    _C.IMAGE_LOADER.CATEGORY_TO_CLASS_MAPPING = CN(new_allowed=True)
+    # inference
+    _C.INFERENCE = CN()
+    _C.INFERENCE.INPUT_BATCH_SIZE = 4
+    _C.INFERENCE.OUTPUT_BATCH_SIZE = 2
+    # sampled data
+    _C.DATA_SAMPLER = CN(new_allowed=True)
+    _C.DATA_SAMPLER.TYPE = ""
+    _C.DATA_SAMPLER.USE_GROUND_TRUTH_CATEGORIES = False
+    # filter
+    _C.FILTER = CN(new_allowed=True)
+    _C.FILTER.TYPE = ""
+    return _C
+
+
+def load_bootstrap_config(cfg) -> None:
+    """Normalize BOOTSTRAP_DATASETS dict entries into full CfgNodes
+    (reference config.py:89-102)."""
+    if not cfg.BOOTSTRAP_DATASETS:
+        return
+    nodes = []
+    for dataset_cfg in cfg.BOOTSTRAP_DATASETS:
+        _C = get_bootstrap_dataset_config().clone()
+        _C.merge_from_other_cfg(CN(dict(dataset_cfg)))
+        nodes.append(_C)
+    cfg.BOOTSTRAP_DATASETS = nodes
+
+
+def add_dataset_category_config(cfg):
+    """Category-merging options for class-agnostic / multi-dataset training
+    (reference config.py:8-18)."""
+    cfg.DATASETS.CATEGORY_MAPS = CN(new_allowed=True)
+    cfg.DATASETS.WHITELISTED_CATEGORIES = CN(new_allowed=True)
+    # class id -> mesh name mapping for CSE
+    cfg.DATASETS.CLASS_TO_MESH_NAME_MAPPING = CN(new_allowed=True)
+
+
 def add_densepose_config(cfg):
-    """Add config for the DensePose head (chart + CSE)."""
+    """Add config for the DensePose head (chart + CSE) plus the bootstrap /
+    category / evaluation blocks (reference config.py:272-277)."""
+    add_bootstrap_config(cfg)
+    add_dataset_category_config(cfg)
+    add_evaluation_config(cfg)
     cfg.MODEL.ROI_HEADS.NAME = "DensePoseROIHeads"
     cfg.MODEL.DENSEPOSE_ON = True
 
@@ -30,6 +112,9 @@ def add_densepose_config(cfg):
     cfg.MODEL.ROI_DENSEPOSE_HEAD.PART_WEIGHTS = 1.0
     cfg.MODEL.ROI_DENSEPOSE_HEAD.POINT_REGRESSION_WEIGHTS = 0.01
     cfg.MODEL.ROI_DENSEPOSE_HEAD.PREDICTOR_NAME = "DensePoseChartWithConfidencePredictor"
+    # attach raw coarse/fine/u/v predictor maps at inference (the bootstrap
+    # pipeline's samplers consume these; costs [B, D, M, M, C] HBM readback)
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.RAW_OUTPUTS = False
     # loss family selector (reference config.py; dispatched by PREDICTOR_NAME
     # here — chart losses for chart predictors, CSE losses for embedding ones)
     cfg.MODEL.ROI_DENSEPOSE_HEAD.LOSS_NAME = "DensePoseChartWithConfidenceLoss"

@@ -19,6 +19,7 @@ from typing import Any, Dict, List, Optional
 
 import numpy as np
 
+from detectron2_tpu.config import configurable
 from detectron2_tpu.data import detection_utils as utils
 from detectron2_tpu.data import transforms as T
 from detectron2_tpu.data.build import PaddedBatchCollator
@@ -39,6 +40,7 @@ class DensePoseDatasetMapper(DatasetMapper):
     """DatasetMapper that additionally transforms + packs dp_* annotations
     (reference densepose/data/dataset_mapper.py:27-125)."""
 
+    @configurable
     def __init__(self, *args, densepose_transform_data: Optional[DensePoseTransformData] = None,
                  max_points: int = DP_MAX_POINTS, **kwargs):
         super().__init__(*args, **kwargs)

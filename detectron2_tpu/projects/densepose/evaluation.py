@@ -101,6 +101,27 @@ class SmplDistanceProvider(MeshDistanceProvider):
         return self.MEAN_DISTANCES[self.COARSE_PARTS[parts.astype(int)]]
 
 
+def build_mesh_distance_provider(cfg) -> MeshDistanceProvider:
+    """The SMPL provider from the DensePose release files under
+    $DETECTRON2_DATASETS/densepose_eval_data (SMPL_subdiv.mat,
+    Pdist_matrix.pkl, SMPL_SUBDIV_TRANSFORM.mat — the files the reference
+    fetches from dl.fbaipublicfiles.com in densepose_coco_evaluation.py
+    _loadGEval). Raises with a download hint when absent (zero-egress
+    environments must stage them)."""
+    import os
+
+    data_dir = os.path.join(
+        os.environ.get("DETECTRON2_DATASETS", "datasets"), "densepose_eval_data"
+    )
+    if not os.path.exists(os.path.join(data_dir, "SMPL_subdiv.mat")):
+        raise FileNotFoundError(
+            f"DensePose SMPL evaluation data not found in {data_dir}; download "
+            "SMPL_subdiv.mat / Pdist_matrix.pkl / SMPL_SUBDIV_TRANSFORM.mat from "
+            "https://dl.fbaipublicfiles.com/densepose/data/ into that directory"
+        )
+    return SmplDistanceProvider(data_dir)
+
+
 def _bbox_iou_xywh(d: Sequence[float], g: Sequence[float]) -> float:
     dx1, dy1 = d[0], d[1]
     dx2, dy2 = d[0] + d[2], d[1] + d[3]
@@ -128,16 +149,18 @@ class DensePoseCOCOEvaluator(DatasetEvaluator):
         mesh_provider: MeshDistanceProvider,
         mode: str = "gps",  # gps | gpsm
         iou_thresholds: Optional[np.ndarray] = None,
+        min_iou_threshold: float = 0.5,
     ):
         self._metadata = MetadataCatalog.get(dataset_name)
         self._provider = mesh_provider
         assert mode in ("gps", "gpsm"), mode
         self._mode = mode
-        self._thrs = (
-            iou_thresholds
-            if iou_thresholds is not None
-            else np.linspace(0.5, 0.95, 10)
-        )
+        if iou_thresholds is None:
+            # (reference evaluation/evaluator.py:341-344): thresholds start
+            # at DENSEPOSE_EVALUATION.MIN_IOU_THRESHOLD
+            n = int(np.round((0.95 - min_iou_threshold) / 0.05)) + 1
+            iou_thresholds = np.linspace(min_iou_threshold, 0.95, n, endpoint=True)
+        self._thrs = iou_thresholds
         self._predictions: List[Dict] = []
         self._gts: Dict[int, List[Dict]] = {}
 

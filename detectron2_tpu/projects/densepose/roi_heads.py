@@ -101,6 +101,7 @@ class DensePoseROIHeads(StandardROIHeads):
             embed_loss_weight=h.CSE.EMBED_LOSS_WEIGHT,
             embed_loss_name=h.CSE.EMBED_LOSS_NAME,
             geodist_gauss_sigma=h.CSE.GEODESIC_DIST_GAUSS_SIGMA,
+            raw_outputs=bool(getattr(h, "RAW_OUTPUTS", False)),
         )
 
     # the densepose branch piggybacks on the mask hooks so the standard
