@@ -65,13 +65,18 @@ def get_rel_pos(q_size: int, k_size: int, rel_pos: jnp.ndarray) -> jnp.ndarray:
     return rel_pos[relative_coords.astype(jnp.int32)]
 
 
-def decomposed_rel_pos_factors(q, rel_pos_h, rel_pos_w, q_size, k_size):
+def decomposed_rel_pos_factors(q, rel_pos_h, rel_pos_w, q_size, k_size, transposed=False):
     """The two factors of the decomposed relative-position bias
     (mvitv2-style; reference utils.py:98-127):
     bias[q=(h,w), k=(h2,w2)] = rel_h[q, h2] + rel_w[q, w2].
 
     Returns rel_h [B, q_h*q_w, k_h] and rel_w [B, q_h*q_w, k_w] — the full
-    [S, S] bias is never materialized (the flash kernel rebuilds tiles)."""
+    [S, S] bias is never materialized (the flash kernel rebuilds tiles).
+
+    transposed=True emits the v2 flash kernel's native layout instead:
+    rel_h [B, k_h, q_h*q_w] / rel_w [B, k_w, q_h*q_w] — produced directly by
+    the einsum (no relayout of the standard-layout output, which at ViT-B
+    global scale is a ~100 MB lane-crossing copy per block)."""
     q_h, q_w = q_size
     k_h, k_w = k_size
     Rh = get_rel_pos(q_h, k_h, rel_pos_h)  # [q_h, k_h, dim]
@@ -79,6 +84,10 @@ def decomposed_rel_pos_factors(q, rel_pos_h, rel_pos_w, q_size, k_size):
 
     B, _, dim = q.shape
     r_q = q.reshape(B, q_h, q_w, dim)
+    if transposed:
+        rel_ht = jnp.einsum("bhwc,hkc->bkhw", r_q, Rh.astype(q.dtype))
+        rel_wt = jnp.einsum("bhwc,wkc->bkhw", r_q, Rw.astype(q.dtype))
+        return rel_ht.reshape(B, k_h, q_h * q_w), rel_wt.reshape(B, k_w, q_h * q_w)
     rel_h = jnp.einsum("bhwc,hkc->bhwk", r_q, Rh.astype(q.dtype))
     rel_w = jnp.einsum("bhwc,wkc->bhwk", r_q, Rw.astype(q.dtype))
     return rel_h.reshape(B, q_h * q_w, k_h), rel_w.reshape(B, q_h * q_w, k_w)
@@ -117,7 +126,14 @@ class Attention(nn.Module):
         # [3, B, nHeads, HW, hd] -> merge batch and heads
         q, k, v = (t.reshape(B * self.num_heads, H * W, head_dim) for t in qkv)
 
+        from detectron2_tpu.ops.attention import attention_plan, attention_with_rel_pos
+
         rel_h = rel_w = None
+        # both the global blocks (S = 4096) and the windowed blocks (S = 196)
+        # take the Pallas flash path on TPU; elsewhere the XLA einsum runs.
+        # The plan is queried up front so the bias factors are produced in the
+        # chosen kernel's native layout (v2 wants them transposed).
+        plan = attention_plan(H * W, self.use_rel_pos, H, W)
         if self.use_rel_pos:
             rel_pos_h = self.param(
                 "rel_pos_h", nn.initializers.zeros, (2 * self.input_size[0] - 1, head_dim)
@@ -125,13 +141,13 @@ class Attention(nn.Module):
             rel_pos_w = self.param(
                 "rel_pos_w", nn.initializers.zeros, (2 * self.input_size[1] - 1, head_dim)
             )
-            rel_h, rel_w = decomposed_rel_pos_factors(q, rel_pos_h, rel_pos_w, (H, W), (H, W))
+            rel_h, rel_w = decomposed_rel_pos_factors(
+                q, rel_pos_h, rel_pos_w, (H, W), (H, W), transposed=plan == "v2"
+            )
 
-        from detectron2_tpu.ops.attention import attention_with_rel_pos
-
-        # both the global blocks (S = 4096) and the windowed blocks (S = 196)
-        # take the Pallas flash path on TPU; elsewhere the XLA einsum runs
-        x = attention_with_rel_pos(q, k, v, rel_h, rel_w, scale=scale)
+        x = attention_with_rel_pos(
+            q, k, v, rel_h, rel_w, scale=scale, factors_transposed=plan == "v2"
+        )
         x = x.reshape(B, self.num_heads, H * W, head_dim).transpose(0, 2, 1, 3).reshape(B, H, W, self.dim)
         return nn.Dense(self.dim, dtype=x.dtype, name="proj")(x)
 

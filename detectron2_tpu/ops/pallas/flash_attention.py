@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["flash_attention", "flash_attention_v2"]
+__all__ = ["flash_attention", "flash_attention_v2", "flash_attention_v2_t", "v2_plan"]
 
 
 def _kernel(q_ref, k_ref, v_ref, rel_h_ref, rel_w_ref, o_ref, *, block_k, w_k, scale, has_bias):
@@ -93,8 +93,8 @@ def _kernel(q_ref, k_ref, v_ref, rel_h_ref, rel_w_ref, o_ref, *, block_k, w_k, s
 
 
 def _kernel_v2(
-    q_ref, k_ref, v_ref, rel_ht_ref, rel_wt_ref, o_ref, m_ref, l_ref, acc_ref, bw_ref,
-    *, w_k, scale, has_bias, k_axis=2,
+    q_ref, k_ref, v_ref, rel_ht_ref, rel_wt_ref, o_ref, m_ref, l_ref, acc_ref,
+    *maybe_bw, w_k, scale, has_bias, k_axis=2,
 ):
     """One (batch-head, q-block, k-block) grid step; k innermost.
 
@@ -111,6 +111,7 @@ def _kernel_v2(
     n_k = pl.num_programs(k_axis)
     bq = q_ref.shape[1]
     bk = k_ref.shape[1]
+    bw_ref = maybe_bw[0] if has_bias else None
 
     @pl.when(kk == 0)
     def _init():
@@ -159,49 +160,64 @@ def _kernel_v2(
         o_ref[0] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
 
 
-def flash_attention_v2(
-    q: jnp.ndarray,
-    k: jnp.ndarray,
-    v: jnp.ndarray,
-    rel_h: Optional[jnp.ndarray] = None,
-    rel_w: Optional[jnp.ndarray] = None,
-    *,
-    scale: float,
-    block_q: int = 512,
-    block_k: int = 512,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Pipelined-grid variant of :func:`flash_attention` (same contract).
+def v2_plan(S: int, h_k: Optional[int], w_k: Optional[int], block_k: int = 512):
+    """Whether the pipelined v2 kernel applies to this shape, and its block_k.
 
-    Falls back to :func:`flash_attention` when the bias-row split doesn't
-    meet Mosaic's sublane constraint (r = block_k // w_k must be a multiple
-    of 8, or the k loop must be a single block)."""
-    B, S, D = q.shape
-    has_bias = rel_h is not None
-    block_q = min(block_q, S)
+    Returns (ok, block_k). v2 needs (a) a multi-block k loop to pipeline and
+    (b) when biased, r = block_k // w_k to be a multiple of 8 so the rel_h
+    k-block slice rides Mosaic's (8, 128) sublane tiling. Callers use this to
+    produce bias factors in the kernel-native transposed layout (see
+    :func:`flash_attention_v2_t`)."""
     block_k = min(block_k, S)
-    if has_bias:
-        w_k = rel_w.shape[-1]
-        h_k = rel_h.shape[-1]
-        assert h_k * w_k == S, (h_k, w_k, S)
+    if w_k is not None:
+        if h_k * w_k != S:
+            return False, block_k
         if block_k % w_k != 0:
             block_k = w_k * max(1, block_k // w_k)
-        r = block_k // w_k
-        if S // block_k == 1 or r % 8 != 0:
+        if S // block_k == 1 or (block_k // w_k) % 8 != 0:
             # single k block (windowed ViT shapes, S=196): there is nothing
             # to pipeline and the factor transpose + scratch init are pure
             # overhead — v1 measures faster end-to-end (31.9 vs 27.8 img/s
             # on ViTDet-B). r % 8 != 0: rel_h's per-k-block row slice would
             # violate Mosaic's (8, 128) block tiling rule. v1 holds the
             # whole factor in VMEM and selects rows in-kernel.
-            return flash_attention(
-                q, k, v, rel_h, rel_w, scale=scale,
-                block_q=block_q, block_k=block_k, interpret=interpret,
-            )
-        # transposed factor layout: the k-block slice rides the second-last
-        # (sublane) dim, where r-row blocks are legal
-        rel_ht = rel_h.swapaxes(1, 2)  # [B, Hk, S]
-        rel_wt = rel_w.swapaxes(1, 2)  # [B, Wk, S]
+            return False, block_k
+        return True, block_k
+    return S % block_k == 0 and S // block_k > 1, block_k
+
+
+def flash_attention_v2_t(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    rel_ht: Optional[jnp.ndarray] = None,
+    rel_wt: Optional[jnp.ndarray] = None,
+    *,
+    scale: float,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pipelined-grid flash attention taking TRANSPOSED bias factors.
+
+    rel_ht: [B, Hk, S], rel_wt: [B, Wk, S] — the kernel-native layout (each
+    k block slices r rows of rel_ht on the sublane dim). Producing the
+    factors in this layout at the source (``decomposed_rel_pos_factors(...,
+    transposed=True)``) lets XLA emit them straight from the einsum instead
+    of relayouting [B, S, 64] -> [B, 64, S] (a ~100 MB lane-crossing copy at
+    ViT-B scale) — that relayout is what kept v2 off by default in round 3.
+
+    Callers must have validated the shape with :func:`v2_plan`.
+    """
+    B, S, D = q.shape
+    has_bias = rel_ht is not None
+    block_q = min(block_q, S)
+    block_k = min(block_k, S)
+    if has_bias:
+        h_k, w_k = rel_ht.shape[1], rel_wt.shape[1]
+        ok, block_k = v2_plan(S, h_k, w_k, block_k)
+        assert ok, (S, h_k, w_k, block_k)
+        r = block_k // w_k
     else:
         w_k = block_k
         r = 1
@@ -212,6 +228,14 @@ def flash_attention_v2(
     n_k = S // block_k
     grid = (B, S // block_q, n_k)
     kernel = functools.partial(_kernel_v2, w_k=w_k, scale=scale, has_bias=has_bias)
+    scratch = [
+        pltpu.VMEM((block_q, 1), jnp.float32),
+        pltpu.VMEM((block_q, 1), jnp.float32),
+        pltpu.VMEM((block_q, D), jnp.float32),
+    ]
+    if has_bias:
+        # the k-invariant w-factor bias tile, built once per q-block
+        scratch.append(pltpu.VMEM((block_q, block_k), jnp.float32))
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -228,14 +252,45 @@ def flash_attention_v2(
         ],
         out_specs=pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((B, S, D), v.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, D), jnp.float32),
-            pltpu.VMEM((block_q, block_k), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(q, k, v, rel_ht, rel_wt)
+
+
+def flash_attention_v2(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    rel_h: Optional[jnp.ndarray] = None,
+    rel_w: Optional[jnp.ndarray] = None,
+    *,
+    scale: float,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pipelined-grid variant of :func:`flash_attention` (same contract,
+    standard-layout factors — transposed internally; prefer
+    :func:`flash_attention_v2_t` with producer-side transposed factors).
+
+    Falls back to :func:`flash_attention` when the bias-row split doesn't
+    meet Mosaic's sublane constraint (see :func:`v2_plan`)."""
+    B, S, D = q.shape
+    if rel_h is not None:
+        ok, _ = v2_plan(S, rel_h.shape[-1], rel_w.shape[-1], block_k)
+        if not ok:
+            return flash_attention(
+                q, k, v, rel_h, rel_w, scale=scale,
+                block_q=block_q, block_k=block_k, interpret=interpret,
+            )
+        rel_ht = rel_h.swapaxes(1, 2)  # [B, Hk, S]
+        rel_wt = rel_w.swapaxes(1, 2)  # [B, Wk, S]
+    else:
+        rel_ht = rel_wt = None
+    return flash_attention_v2_t(
+        q, k, v, rel_ht, rel_wt, scale=scale,
+        block_q=block_q, block_k=block_k, interpret=interpret,
+    )
 
 
 def flash_attention(

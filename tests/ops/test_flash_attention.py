@@ -7,8 +7,18 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from detectron2_tpu.ops.attention import _attn_xla, attention_with_rel_pos
-from detectron2_tpu.ops.pallas.flash_attention import flash_attention, flash_attention_v2
+from detectron2_tpu.ops.attention import (
+    _attn_xla,
+    _attn_xla_t,
+    attention_plan,
+    attention_with_rel_pos,
+)
+from detectron2_tpu.ops.pallas.flash_attention import (
+    flash_attention,
+    flash_attention_v2,
+    flash_attention_v2_t,
+    v2_plan,
+)
 
 
 def _qkv(B=2, S=256, D=64, seed=0):
@@ -115,6 +125,95 @@ def test_flash_v2_windowed_shape():
     want = _attn_xla(q, k, v, rel_h, rel_w, scale)
     got = flash_attention_v2(q, k, v, rel_h, rel_w, scale=scale, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_v2_t_native_transposed_factors():
+    """flash_attention_v2_t consumes producer-side transposed factors
+    ([B, Hk, S] / [B, Wk, S]) without any internal relayout; must match the
+    exact formulation and the standard-layout wrapper bit-for-bit."""
+    B, H, W, D = 2, 16, 16, 64
+    S = H * W
+    q, k, v = _qkv(B, S, D, seed=31)
+    r = np.random.RandomState(32)
+    rel_h = jnp.asarray(r.randn(B, S, H).astype(np.float32) * 0.2)
+    rel_w = jnp.asarray(r.randn(B, S, W).astype(np.float32) * 0.2)
+    scale = D**-0.5
+    want = _attn_xla(q, k, v, rel_h, rel_w, scale)
+    got_t = flash_attention_v2_t(
+        q, k, v, rel_h.swapaxes(1, 2), rel_w.swapaxes(1, 2),
+        scale=scale, block_q=64, block_k=128, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want), rtol=2e-5, atol=2e-5)
+    got_std = flash_attention_v2(
+        q, k, v, rel_h, rel_w, scale=scale, block_q=64, block_k=128, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got_t), np.asarray(got_std))
+
+
+def test_attn_xla_t_matches_standard_layout():
+    """The transposed-factor exact formulation (v2's VJP recompute target)
+    and its gradients must agree with the standard-layout one."""
+    B, H, W, D = 2, 8, 8, 32
+    S = H * W
+    q, k, v = _qkv(B, S, D, seed=41)
+    r = np.random.RandomState(42)
+    rel_h = jnp.asarray(r.randn(B, S, H).astype(np.float32) * 0.2)
+    rel_w = jnp.asarray(r.randn(B, S, W).astype(np.float32) * 0.2)
+    scale = D**-0.5
+    want = _attn_xla(q, k, v, rel_h, rel_w, scale)
+    got = _attn_xla_t(q, k, v, rel_h.swapaxes(1, 2), rel_w.swapaxes(1, 2), scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
+
+    g_std = jax.grad(lambda rh: (_attn_xla(q, k, v, rh, rel_w, scale) ** 2).sum())(rel_h)
+    g_t = jax.grad(
+        lambda rht: (_attn_xla_t(q, k, v, rht, rel_w.swapaxes(1, 2), scale) ** 2).sum()
+    )(rel_h.swapaxes(1, 2))
+    np.testing.assert_allclose(
+        np.asarray(g_t.swapaxes(1, 2)), np.asarray(g_std), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_decomposed_rel_pos_factors_transposed_layout():
+    """transposed=True must be exactly the swapaxes of the standard layout."""
+    from detectron2_tpu.modeling.backbone.vit import decomposed_rel_pos_factors
+
+    B, H, W, D = 2, 8, 8, 16
+    r = np.random.RandomState(51)
+    q = jnp.asarray(r.randn(B, H * W, D).astype(np.float32))
+    rph = jnp.asarray(r.randn(2 * H - 1, D).astype(np.float32))
+    rpw = jnp.asarray(r.randn(2 * W - 1, D).astype(np.float32))
+    rel_h, rel_w = decomposed_rel_pos_factors(q, rph, rpw, (H, W), (H, W))
+    rel_ht, rel_wt = decomposed_rel_pos_factors(q, rph, rpw, (H, W), (H, W), transposed=True)
+    np.testing.assert_allclose(
+        np.asarray(rel_ht), np.asarray(rel_h.swapaxes(1, 2)), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(rel_wt), np.asarray(rel_w.swapaxes(1, 2)), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_attention_plan_rules(monkeypatch):
+    """Dispatch boundaries: v1 is the default flash kernel (v2 measured
+    slower end-to-end on ViTDet-B); D2T_FLASH_V2=1 opts into v2 for
+    pipelineable global shapes only; xla off-TPU and for odd shapes."""
+    on_tpu = jax.default_backend() == "tpu"
+    # CPU/interpret test environment: auto never picks flash off-TPU
+    if not on_tpu:
+        assert attention_plan(4096, True, 64, 64) == "xla"
+    # forced flash exercises the plan logic regardless of backend
+    monkeypatch.delenv("D2T_FLASH_V2", raising=False)
+    assert attention_plan(4096, True, 64, 64, use_flash="always") == "v1"
+    assert attention_plan(196, True, 14, 14, use_flash="always") == "v1"
+    assert attention_plan(256, True, 16, 16, use_flash="never") == "xla"
+
+    monkeypatch.setenv("D2T_FLASH_V2", "1")
+    assert attention_plan(4096, True, 64, 64, use_flash="always") == "v2"  # r=8
+    assert attention_plan(196, True, 14, 14, use_flash="always") == "v1"  # single k block
+    # no-bias global shape pipelines too
+    assert attention_plan(4096, False, None, None, use_flash="always") == "v2"
+    # v2_plan consistency: bias width that violates r % 8 == 0
+    ok, _ = v2_plan(1024, 8, 128)  # r = 512 // 128 = 4
+    assert not ok
 
 
 def test_dispatch_gradients_flow():
