@@ -292,6 +292,12 @@ _C.TEST.EXPECTED_RESULTS = []
 _C.TEST.EVAL_PERIOD = 0
 _C.TEST.KEYPOINT_OKS_SIGMAS = []
 _C.TEST.DETECTIONS_PER_IMAGE = 100
+# TPU top-k dispatch for the dense one-stage decode (ops/topk.py): on TPU the
+# flattened [B, HWA*C] score ranking uses lax.approx_max_k at this recall
+# target; EXACT_TOPK forces exact lax.top_k on every backend (TPU-addition;
+# the reference's torch.topk is always exact)
+_C.TEST.TOPK_RECALL_TARGET = 0.99
+_C.TEST.EXACT_TOPK = False
 _C.TEST.AUG = CN({"ENABLED": False})
 _C.TEST.AUG.MIN_SIZES = (400, 500, 600, 700, 800, 900, 1000, 1100, 1200)
 _C.TEST.AUG.MAX_SIZE = 4000

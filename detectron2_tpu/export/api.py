@@ -101,6 +101,10 @@ def save_compiled(compiled, path: str) -> None:
     compilation (vs aot_compile, which still compiles once per process, or
     StableHLO exports, which re-compile at load). Executable blobs are
     topology- and compiler-version-specific — regenerate per fleet rollout.
+
+    TRUST BOUNDARY: the artifact is a pickle. `load_compiled` of an
+    untrusted .jaxexec is arbitrary code execution — treat these files like
+    binaries (sign/verify in deployment), never load ones you didn't write.
     """
     import pickle
 
@@ -111,10 +115,23 @@ def save_compiled(compiled, path: str) -> None:
     # must hand deserialize_and_load exactly that many execution devices
     # (its default is ALL addressable devices, which breaks a single-device
     # serving executable on a multi-device host)
-    try:
-        num_devices = len(compiled._executable.xla_executable.local_devices())
-    except Exception:
+    num_devices = None
+    for probe in (
+        lambda: len(compiled._executable.local_devices()),  # public-shaped, newer jax
+        lambda: len(compiled._executable.xla_executable.local_devices()),
+    ):
+        try:
+            num_devices = probe()
+            break
+        except Exception:
+            continue
+    if num_devices is None:
         num_devices = 1
+        logger.warning(
+            "Could not introspect the executable's device count (JAX internals "
+            "moved?); recording num_devices=1. If this executable was compiled "
+            "for multiple devices, pass devices= explicitly to load_compiled."
+        )
     with open(path, "wb") as f:
         pickle.dump(
             {
@@ -131,6 +148,9 @@ def save_compiled(compiled, path: str) -> None:
 def load_compiled(path: str, devices=None):
     """Load an executable written by `save_compiled`; returns the compiled
     callable with the original (pytree) calling convention.
+
+    TRUST BOUNDARY: .jaxexec files are pickles — loading one executes
+    arbitrary code. Only load artifacts you produced (see `save_compiled`).
 
     Args:
         devices: execution devices; defaults to the first N local devices,

@@ -35,6 +35,8 @@ def decode_dense_predictions_padded(
     topk_candidates: int,
     nms_thresh: float,
     max_detections: int,
+    topk_recall_target: float = 0.99,
+    exact_topk: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """The one-stage inference decode (reference dense_detector.py
     _decode_per_level_predictions + retinanet inference_single_image), padded:
@@ -54,7 +56,9 @@ def decode_dense_predictions_padded(
         # [B, HWA*C] is up to 12M entries/level: TPU takes the approx_max_k
         # partial reduction (exact lax.top_k full-sorted this at ~600 ms per
         # RetinaNet batch); CPU stays exact (see ops/topk.py)
-        top_scores, top_idx = top_k_padded(flat, k)  # [B, k]
+        top_scores, top_idx = top_k_padded(
+            flat, k, recall_target=topk_recall_target, exact=exact_topk or None
+        )  # [B, k]
         anchor_idx = top_idx // C
         cls_idx = top_idx % C
 

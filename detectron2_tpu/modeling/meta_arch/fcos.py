@@ -88,6 +88,9 @@ class FCOS(DenseDetector):
     test_nms_thresh: float = 0.6
     max_detections_per_image: int = 100
     strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
+    # TPU top-k dispatch (ops/topk.py), from cfg.TEST.{TOPK_RECALL_TARGET,EXACT_TOPK}
+    topk_recall_target: float = 0.99
+    exact_topk: bool = False
 
     @classmethod
     def from_config(cls, cfg):
@@ -109,6 +112,8 @@ class FCOS(DenseDetector):
             pixel_std=tuple(cfg.MODEL.PIXEL_STD),
             compute_dtype=cfg.TPU.COMPUTE_DTYPE,
             max_detections_per_image=cfg.TEST.DETECTIONS_PER_IMAGE,
+            topk_recall_target=cfg.TEST.TOPK_RECALL_TARGET,
+            exact_topk=cfg.TEST.EXACT_TOPK,
         )
 
     def _point_anchors(self, grid_sizes) -> List[jnp.ndarray]:
@@ -154,6 +159,8 @@ class FCOS(DenseDetector):
             transform, anchors, probs_l, deltas_l, batch["image_sizes"],
             self.test_score_thresh, self.test_topk_candidates, self.test_nms_thresh,
             self.max_detections_per_image,
+            topk_recall_target=self.topk_recall_target,
+            exact_topk=self.exact_topk,
         )
 
     def _match_points_to_gt(self, anchors_cat, level_of_anchor, gt_boxes, gt_valid):

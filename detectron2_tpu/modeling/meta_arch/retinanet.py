@@ -114,6 +114,10 @@ class RetinaNet(DenseDetector):
     test_topk_candidates: int = 1000
     test_nms_thresh: float = 0.5
     max_detections_per_image: int = 100
+    # TPU top-k dispatch (ops/topk.py): approx_max_k recall target and the
+    # exact-top-k override, from cfg.TEST.{TOPK_RECALL_TARGET,EXACT_TOPK}
+    topk_recall_target: float = 0.99
+    exact_topk: bool = False
 
     @classmethod
     def from_config(cls, cfg):
@@ -149,6 +153,8 @@ class RetinaNet(DenseDetector):
             test_topk_candidates=cfg.MODEL.RETINANET.TOPK_CANDIDATES_TEST,
             test_nms_thresh=cfg.MODEL.RETINANET.NMS_THRESH_TEST,
             max_detections_per_image=cfg.TEST.DETECTIONS_PER_IMAGE,
+            topk_recall_target=cfg.TEST.TOPK_RECALL_TARGET,
+            exact_topk=cfg.TEST.EXACT_TOPK,
             pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
             pixel_std=tuple(cfg.MODEL.PIXEL_STD),
             compute_dtype=cfg.TPU.COMPUTE_DTYPE,
@@ -187,6 +193,8 @@ class RetinaNet(DenseDetector):
             self.test_topk_candidates,
             self.test_nms_thresh,
             self.max_detections_per_image,
+            topk_recall_target=self.topk_recall_target,
+            exact_topk=self.exact_topk,
         )
 
     def losses(self, anchors, logits_l, deltas_l, gt_boxes, gt_classes, gt_valid):

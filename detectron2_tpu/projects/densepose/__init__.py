@@ -46,10 +46,17 @@ from detectron2_tpu.projects.densepose.hrnet import (
     PoseHigherResolutionNet,
     build_pose_hrnet_backbone,
 )
+from detectron2_tpu.projects.densepose.dp_coco_eval import (
+    DensePoseCocoEvalEngine,
+    DensePoseEvalParams,
+    GeodesicMeshTables,
+    densepose_metric_names,
+)
 from detectron2_tpu.projects.densepose.evaluation import (
     DensePoseCOCOEvaluator,
     MeshDistanceProvider,
     SmplDistanceProvider,
+    load_smpl_mesh_tables,
 )
 from detectron2_tpu.projects.densepose.roi_heads import DensePoseROIHeads
 from detectron2_tpu.projects.densepose.structures import (
@@ -215,6 +222,11 @@ __all__ = [
     "iid_isotropic_gaussian_uv_loss",
     "indep_anisotropic_gaussian_uv_loss",
     "DensePoseCOCOEvaluator",
+    "DensePoseCocoEvalEngine",
+    "DensePoseEvalParams",
+    "GeodesicMeshTables",
+    "densepose_metric_names",
+    "load_smpl_mesh_tables",
     "MeshDistanceProvider",
     "SmplDistanceProvider",
     "DensePoseDataRelative",

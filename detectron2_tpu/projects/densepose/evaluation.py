@@ -28,7 +28,12 @@ from detectron2_tpu.data import MetadataCatalog
 from detectron2_tpu.evaluation.evaluator import DatasetEvaluator
 from detectron2_tpu.utils import comm
 
-__all__ = ["MeshDistanceProvider", "SmplDistanceProvider", "DensePoseCOCOEvaluator"]
+__all__ = [
+    "MeshDistanceProvider",
+    "SmplDistanceProvider",
+    "DensePoseCOCOEvaluator",
+    "load_smpl_mesh_tables",
+]
 
 logger = logging.getLogger(__name__)
 
@@ -101,6 +106,23 @@ class SmplDistanceProvider(MeshDistanceProvider):
         return self.MEAN_DISTANCES[self.COARSE_PARTS[parts.astype(int)]]
 
 
+def _smpl_data_dir() -> str:
+    import os
+
+    return os.path.join(os.environ.get("DETECTRON2_DATASETS", "datasets"), "densepose_eval_data")
+
+
+def _require_smpl_files(data_dir: str):
+    import os
+
+    if not os.path.exists(os.path.join(data_dir, "SMPL_subdiv.mat")):
+        raise FileNotFoundError(
+            f"DensePose SMPL evaluation data not found in {data_dir}; download "
+            "SMPL_subdiv.mat / Pdist_matrix.pkl / SMPL_SUBDIV_TRANSFORM.mat from "
+            "https://dl.fbaipublicfiles.com/densepose/data/ into that directory"
+        )
+
+
 def build_mesh_distance_provider(cfg) -> MeshDistanceProvider:
     """The SMPL provider from the DensePose release files under
     $DETECTRON2_DATASETS/densepose_eval_data (SMPL_subdiv.mat,
@@ -108,18 +130,42 @@ def build_mesh_distance_provider(cfg) -> MeshDistanceProvider:
     fetches from dl.fbaipublicfiles.com in densepose_coco_evaluation.py
     _loadGEval). Raises with a download hint when absent (zero-egress
     environments must stage them)."""
-    import os
-
-    data_dir = os.path.join(
-        os.environ.get("DETECTRON2_DATASETS", "datasets"), "densepose_eval_data"
-    )
-    if not os.path.exists(os.path.join(data_dir, "SMPL_subdiv.mat")):
-        raise FileNotFoundError(
-            f"DensePose SMPL evaluation data not found in {data_dir}; download "
-            "SMPL_subdiv.mat / Pdist_matrix.pkl / SMPL_SUBDIV_TRANSFORM.mat from "
-            "https://dl.fbaipublicfiles.com/densepose/data/ into that directory"
-        )
+    data_dir = _smpl_data_dir()
+    _require_smpl_files(data_dir)
     return SmplDistanceProvider(data_dir)
+
+
+def load_smpl_mesh_tables(data_dir: Optional[str] = None):
+    """Build :class:`GeodesicMeshTables` from the DensePose SMPL release
+    files, mirroring the reference's _loadGEval
+    (densepose_coco_evaluation.py:150-187): per-part UV tables and 1-based
+    vertex ids from SMPL_subdiv.mat's Part_ID_subdiv grouping, the raw->
+    reduced index from SMPL_SUBDIV_TRANSFORM.mat, and the condensed geodesic
+    matrix from Pdist_matrix.pkl."""
+    import pickle
+
+    import scipy.io as sio
+
+    from .dp_coco_eval import GeodesicMeshTables
+
+    data_dir = data_dir or _smpl_data_dir()
+    _require_smpl_files(data_dir)
+    smpl_subdiv = sio.loadmat(f"{data_dir}/SMPL_subdiv.mat")
+    part_id = smpl_subdiv["Part_ID_subdiv"].squeeze()
+    uv = np.array([smpl_subdiv["U_subdiv"], smpl_subdiv["V_subdiv"]]).squeeze()
+    vert_inds = np.arange(uv.shape[1]) + 1
+    part_uvs = [uv[:, part_id == (i + 1)] for i in range(24)]
+    part_vert_inds = [vert_inds[part_id == (i + 1)] for i in range(24)]
+    pdist_transform = sio.loadmat(f"{data_dir}/SMPL_SUBDIV_TRANSFORM.mat")["index"].squeeze()
+    with open(f"{data_dir}/Pdist_matrix.pkl", "rb") as f:
+        pdist_matrix = pickle.load(f, encoding="latin1")["Pdist_matrix"]
+    return GeodesicMeshTables(
+        part_uvs=part_uvs,
+        part_vert_inds=part_vert_inds,
+        pdist_transform=pdist_transform,
+        part_ids=part_id,
+        pdist_matrix=pdist_matrix,
+    )
 
 
 def _bbox_iou_xywh(d: Sequence[float], g: Sequence[float]) -> float:
@@ -135,146 +181,181 @@ def _bbox_iou_xywh(d: Sequence[float], g: Sequence[float]) -> float:
 
 
 class DensePoseCOCOEvaluator(DatasetEvaluator):
-    """AP over GPS / GPSM on DensePose-COCO-format ground truth.
+    """The reference's DensePose evaluation (evaluation/evaluator.py:44-163):
+    runs the full DensePose COCOeval protocol (:mod:`.dp_coco_eval`) in the
+    GPS, GPSM and IOU match-quality modes and reports the UV metric vector
+    for each as ``densepose_gps`` / ``densepose_gpsm`` / ``densepose_segm``.
 
     Ground truth per instance: bbox (XYWH), dp_x/dp_y (point coords in
-    255-normalized bbox frame), dp_I/dp_U/dp_V (chart labels). Predictions:
-    per-instance IUV maps in the pred-box frame (the chart result of
-    DensePoseROIHeads inference).
+    255-normalized bbox frame), dp_I/dp_U/dp_V (chart labels), optional
+    dp_masks (<=14 per-part 256x256 RLEs). Predictions per instance: bbox
+    XYWH, score, and ``densepose`` as either a quantized [3, h, w] IUV stack
+    in the int-truncated box frame (DensePoseChartResultQuantized /
+    raw ndarray — the reference's results format) or an [M, M, 3] float
+    (part, u, v) grid (this repo's fixed-shape chart inference output),
+    which is resampled to the box frame and quantized in ``process``.
     """
 
     def __init__(
         self,
         dataset_name: str,
-        mesh_provider: MeshDistanceProvider,
-        mode: str = "gps",  # gps | gpsm
-        iou_thresholds: Optional[np.ndarray] = None,
+        tables,  # GeodesicMeshTables
+        mode: str = "all",  # gps | gpsm | iou | all
         min_iou_threshold: float = 0.5,
+        max_dets: int = 20,
     ):
+        from .dp_coco_eval import GeodesicMeshTables
+
         self._metadata = MetadataCatalog.get(dataset_name)
-        self._provider = mesh_provider
-        assert mode in ("gps", "gpsm"), mode
+        assert isinstance(tables, GeodesicMeshTables), (
+            "DensePoseCOCOEvaluator now runs the full reference protocol and "
+            "needs GeodesicMeshTables (load_smpl_mesh_tables() for the SMPL "
+            f"release files); got {type(tables)}"
+        )
+        self._tables = tables
+        assert mode in ("gps", "gpsm", "iou", "all"), mode
         self._mode = mode
-        if iou_thresholds is None:
-            # (reference evaluation/evaluator.py:341-344): thresholds start
-            # at DENSEPOSE_EVALUATION.MIN_IOU_THRESHOLD
-            n = int(np.round((0.95 - min_iou_threshold) / 0.05)) + 1
-            iou_thresholds = np.linspace(min_iou_threshold, 0.95, n, endpoint=True)
-        self._thrs = iou_thresholds
+        self._min_thr = float(min_iou_threshold)
+        self._max_dets = int(max_dets)
         self._predictions: List[Dict] = []
         self._gts: Dict[int, List[Dict]] = {}
+        self._image_sizes: Dict[int, tuple] = {}
 
     def reset(self):
         self._predictions = []
 
-    def set_ground_truth(self, gts_by_image: Dict[int, List[Dict]]):
+    def set_ground_truth(
+        self,
+        gts_by_image: Dict[int, List[Dict]],
+        image_sizes: Optional[Dict[int, tuple]] = None,
+    ):
         """Register GT annotations (image_id -> list of instance dicts with
-        bbox/dp_x/dp_y/dp_I/dp_U/dp_V). In a full data pipeline this comes
-        from the dataset json; exposed for direct use and tests."""
+        bbox/dp_x/dp_y/dp_I/dp_U/dp_V[/dp_masks]). In a full data pipeline
+        this comes from the dataset json; exposed for direct use and tests.
+        ``image_sizes``: image_id -> (height, width); needed for the GPSM /
+        IOU canvas-mask modes (defaults to bounding the boxes)."""
         self._gts = gts_by_image
+        if image_sizes:
+            self._image_sizes.update(image_sizes)
 
     def process(self, inputs, outputs):
-        """outputs: per-image dicts with 'image_id', 'instances' list of
-        {bbox XYWH, score, densepose [M, M, 3] (part, u, v)}."""
-        for out in outputs:
-            self._predictions.append(out)
+        """outputs: per-image dicts with 'image_id', optional 'height'/
+        'width', and 'instances': list of {bbox XYWH, score, densepose}."""
+        for inp, out in zip(inputs or [{}] * len(outputs), outputs):
+            rec = {
+                "image_id": out["image_id"],
+                "instances": [
+                    {**d, "densepose": self._to_quantized(d)} for d in out["instances"]
+                ],
+            }
+            for src in (out, inp or {}):
+                if "height" in src and "width" in src:
+                    self._image_sizes[out["image_id"]] = (src["height"], src["width"])
+                    break
+            self._predictions.append(rec)
 
-    def _gps_single(self, dt: Dict, gt: Dict) -> float:
-        g_bbox = gt["bbox"]
-        d_bbox = dt["bbox"]
-        dp_x = np.asarray(gt["dp_x"], np.float64) * g_bbox[2] / 255.0
-        dp_y = np.asarray(gt["dp_y"], np.float64) * g_bbox[3] / 255.0
-        px = (dp_x + g_bbox[0] - d_bbox[0]).astype(int)
-        py = (dp_y + g_bbox[1] - d_bbox[1]).astype(int)
-        ok = (px >= 0) & (py >= 0) & (px < int(d_bbox[2])) & (py < int(d_bbox[3]))
-        if len(px) == 0 or not ok.any():
-            return 0.0
+    @staticmethod
+    def _to_quantized(dt: Dict) -> np.ndarray:
+        """Normalize a prediction's densepose payload to the quantized
+        [3, h, w] uint8 stack in the int-truncated box frame."""
+        dp = dt["densepose"]
+        if hasattr(dp, "labels_uv_uint8"):  # DensePoseChartResultQuantized
+            return np.asarray(dp.labels_uv_uint8)
+        dp = np.asarray(dp)
+        if dp.ndim == 3 and dp.shape[0] == 3:  # already a quantized stack
+            return dp.astype(np.uint8)
+        # [M, M, 3] float (part, u, v) grid -> resample to the box frame
+        assert dp.ndim == 3 and dp.shape[2] == 3, dp.shape
+        from scipy.ndimage import zoom as spzoom
 
-        iuv = np.asarray(dt["densepose"])  # [M, M, 3]
-        M = iuv.shape[0]
-        # map points in the det box to the M x M grid
-        gx = np.clip((px * M / max(d_bbox[2], 1e-6)).astype(int), 0, M - 1)
-        gy = np.clip((py * M / max(d_bbox[3], 1e-6)).astype(int), 0, M - 1)
-        pred_part = iuv[gy, gx, 0].astype(int)
-        pred_u = iuv[gy, gx, 1]
-        pred_v = iuv[gy, gx, 2]
-
-        gt_verts = self._provider.closest_vertices(
-            np.asarray(gt["dp_I"], int), np.asarray(gt["dp_U"]), np.asarray(gt["dp_V"])
+        h = max(int(dt["bbox"][3]), 1)
+        w = max(int(dt["bbox"][2]), 1)
+        zy, zx = h / dp.shape[0], w / dp.shape[1]
+        labels = spzoom(dp[..., 0], (zy, zx), order=0, prefilter=False)
+        u = spzoom(dp[..., 1], (zy, zx), order=1, prefilter=False)
+        v = spzoom(dp[..., 2], (zy, zx), order=1, prefilter=False)
+        return np.stack(
+            [
+                labels.astype(np.uint8),
+                (np.clip(u, 0.0, 1.0) * 255).astype(np.uint8),
+                (np.clip(v, 0.0, 1.0) * 255).astype(np.uint8),
+            ]
         )
-        dt_verts = self._provider.closest_vertices(pred_part, pred_u, pred_v)
-        dist = self._provider.distances(gt_verts, dt_verts)
-        dist = np.where(ok, dist, np.inf)  # out-of-box points contribute 0
-        k = self._provider.norm_coeffs(np.asarray(gt["dp_I"], int))
-        gps_vals = np.exp(-(dist**2) / (2.0 * k**2))
-        return float(np.mean(gps_vals))
+
+    def _assemble(self):
+        """Flatten registered gts/preds into the engine's COCO-shaped lists."""
+        gts, dts = [], []
+        gid = did = 1
+        image_sizes = dict(self._image_sizes)
+        for img_id, recs in self._gts.items():
+            for r in recs:
+                g = dict(r)
+                g.setdefault("id", gid)
+                g.setdefault("image_id", img_id)
+                g.setdefault("category_id", 1)
+                g.setdefault("area", g["bbox"][2] * g["bbox"][3])
+                gts.append(g)
+                gid += 1
+        for out in self._predictions:
+            img_id = out["image_id"]
+            for d in out["instances"]:
+                d = dict(d)
+                d.setdefault("id", did)
+                d.setdefault("image_id", img_id)
+                d.setdefault("category_id", 1)
+                d.setdefault("area", d["bbox"][2] * d["bbox"][3])
+                dts.append(d)
+                did += 1
+        for ann in itertools.chain(gts, dts):
+            img_id = ann["image_id"]
+            x, y, w, h = ann["bbox"]
+            need = (int(np.ceil(y + h)) + 1, int(np.ceil(x + w)) + 1)
+            if img_id not in image_sizes:
+                image_sizes[img_id] = need
+            else:
+                cur = image_sizes[img_id]
+                image_sizes[img_id] = (max(cur[0], need[0]), max(cur[1], need[1]))
+        return gts, dts, image_sizes
 
     def evaluate(self):
+        from .dp_coco_eval import (
+            DensePoseCocoEvalEngine,
+            DensePoseEvalParams,
+            densepose_metric_names,
+        )
+
         comm.synchronize()
         preds = comm.gather(self._predictions)
         if not comm.is_main_process():
             return
-        preds = list(itertools.chain(*preds))
+        self._predictions = list(itertools.chain(*preds))
+        gts, dts, image_sizes = self._assemble()
+        if not gts:
+            return OrderedDict({"densepose_gps": {"AP": float("nan")}})
 
-        # per-image greedy matching at each threshold (COCOeval semantics)
-        n_thr = len(self._thrs)
-        scores_all, matched_all = [], []
-        n_gt = 0
-        for out in preds:
-            gts = self._gts.get(out["image_id"], [])
-            n_gt += len(gts)
-            dts = sorted(out["instances"], key=lambda d: -d["score"])
-            sim = np.zeros((len(dts), len(gts)))
-            for i, dt in enumerate(dts):
-                for j, gt in enumerate(gts):
-                    s = self._gps_single(dt, gt)
-                    if self._mode == "gpsm":
-                        miou = _bbox_iou_xywh(dt["bbox"], gt["bbox"])
-                        s = float(np.sqrt(max(s, 0.0) * max(miou, 0.0)))
-                    sim[i, j] = s
-            for i, dt in enumerate(dts):
-                scores_all.append(dt["score"])
-                row = np.zeros(n_thr, bool)
-                matched_all.append(row)
-            # greedy match per threshold
-            for t_i, thr in enumerate(self._thrs):
-                taken = set()
-                base = len(scores_all) - len(dts)
-                for i in range(len(dts)):
-                    best_j, best_s = -1, thr
-                    for j in range(len(gts)):
-                        if j in taken:
-                            continue
-                        if sim[i, j] >= best_s:
-                            best_j, best_s = j, sim[i, j]
-                    if best_j >= 0:
-                        taken.add(best_j)
-                        matched_all[base + i][t_i] = True
-
-        if not scores_all or n_gt == 0:
-            return OrderedDict({"densepose": {"AP": float("nan")}})
-
-        order = np.argsort(-np.asarray(scores_all), kind="stable")
-        matched = np.stack(matched_all)[order]  # [D, T]
-        aps = []
-        for t_i in range(n_thr):
-            tp = np.cumsum(matched[:, t_i])
-            fp = np.cumsum(~matched[:, t_i])
-            rec = tp / n_gt
-            prec = tp / np.maximum(tp + fp, 1)
-            # 101-point interpolated AP (COCO protocol)
-            rc_thrs = np.linspace(0, 1, 101)
-            prec_interp = np.maximum.accumulate(prec[::-1])[::-1]
-            idx = np.searchsorted(rec, rc_thrs, side="left")
-            ap = np.mean([prec_interp[k] if k < len(prec_interp) else 0.0 for k in idx])
-            aps.append(ap)
-
-        name = "AP" if self._mode == "gps" else "AP-GPSm"
-        res = {
-            name: 100.0 * float(np.mean(aps)),
-            f"{name}50": 100.0 * float(aps[0]),
-            f"{name}75": 100.0 * float(aps[5]),
-        }
-        results = OrderedDict({"densepose": res})
+        n = int(np.round((0.95 - self._min_thr) / 0.05)) + 1
+        modes = ("gps", "gpsm", "iou") if self._mode == "all" else (self._mode,)
+        section = {"gps": "densepose_gps", "gpsm": "densepose_gpsm", "iou": "densepose_segm"}
+        names = densepose_metric_names(self._min_thr)
+        results: "OrderedDict[str, Dict[str, float]]" = OrderedDict()
+        for mode in modes:
+            params = DensePoseEvalParams(
+                iou_thrs=np.linspace(self._min_thr, 0.95, n, endpoint=True)
+            )
+            params.maxDets = [self._max_dets]
+            engine = DensePoseCocoEvalEngine(
+                gts=[dict(g) for g in gts],
+                dts=dts,
+                image_sizes=image_sizes,
+                tables=self._tables,
+                dp_eval_mode=mode,
+                params=params,
+            )
+            engine.evaluate()
+            engine.accumulate()
+            stats = engine.summarize()
+            results[section[mode]] = {
+                name: float(v) * 100.0 for name, v in zip(names, stats)
+            }
         logger.info(results)
         return results

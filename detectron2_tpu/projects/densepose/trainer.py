@@ -174,18 +174,20 @@ class Trainer(DefaultTrainer):
     def build_evaluator(cls, cfg, dataset_name, output_folder=None):
         from detectron2_tpu.evaluation import COCOEvaluator
 
-        from .evaluation import DensePoseCOCOEvaluator, build_mesh_distance_provider
+        from .evaluation import DensePoseCOCOEvaluator, load_smpl_mesh_tables
 
         if output_folder is None:
             output_folder = os.path.join(cfg.OUTPUT_DIR, "inference")
         evaluators = [COCOEvaluator(dataset_name, output_dir=output_folder)]
         if cfg.MODEL.DENSEPOSE_ON:
-            provider = build_mesh_distance_provider(cfg)
+            # cfg.DENSEPOSE_EVALUATION.TYPE selects the reference's
+            # match-quality mode (iou / gps / gpsm); "all" runs all three
+            # sections like the reference evaluator does
             evaluators.append(
                 DensePoseCOCOEvaluator(
                     dataset_name,
-                    provider,
-                    mode="gps",
+                    load_smpl_mesh_tables(),
+                    mode=cfg.DENSEPOSE_EVALUATION.TYPE,
                     min_iou_threshold=cfg.DENSEPOSE_EVALUATION.MIN_IOU_THRESHOLD,
                 )
             )

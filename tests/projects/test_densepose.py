@@ -198,83 +198,115 @@ def test_densepose_cse_train_and_infer():
 
 
 def test_densepose_gps_evaluator_perfect_prediction():
-    """GPS evaluator: a detection predicting exactly the GT chart points
-    scores AP=100 with a synthetic mesh provider; a wrong one scores lower."""
+    """Engine-backed evaluator: a detection reproducing the GT chart points
+    (and coarse mask) scores AP=100 in GPS, GPSM and IOU modes on synthetic
+    mesh tables; a wrong-part prediction scores 0 in GPS."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from densepose_eval_synth import make_mesh_tables
+
     from detectron2_tpu.data import MetadataCatalog
-    from detectron2_tpu.projects.densepose import DensePoseCOCOEvaluator, MeshDistanceProvider
+    from detectron2_tpu.evaluation.rle import mask_to_rle
+    from detectron2_tpu.projects.densepose import DensePoseCOCOEvaluator, GeodesicMeshTables
 
-    class GridProvider(MeshDistanceProvider):
-        """Vertices = (part, u, v) quantized to a grid; geodesic = euclidean
-        in (u, v) within a part, far otherwise."""
-
-        Q = 16
-
-        def closest_vertices(self, part, u, v):
-            qu = np.clip((np.asarray(u) * self.Q).astype(int), 0, self.Q - 1)
-            qv = np.clip((np.asarray(v) * self.Q).astype(int), 0, self.Q - 1)
-            return np.asarray(part, int) * self.Q * self.Q + qv * self.Q + qu
-
-        def distances(self, a, b):
-            pa, pb = a // (self.Q**2), b // (self.Q**2)
-            ua, va = (a % self.Q) / self.Q, (a % (self.Q**2)) // self.Q / self.Q
-            ub, vb = (b % self.Q) / self.Q, (b % (self.Q**2)) // self.Q / self.Q
-            d = np.sqrt((ua - ub) ** 2 + (va - vb) ** 2)
-            return np.where(pa == pb, d, 10.0)
-
-        def norm_coeffs(self, parts):
-            return np.full(len(parts), 0.255)
-
+    tables = GeodesicMeshTables(**make_mesh_tables())
     MetadataCatalog.get("dp_eval_test")  # register empty metadata
-    ev = DensePoseCOCOEvaluator("dp_eval_test", GridProvider(), mode="gps")
+    ev = DensePoseCOCOEvaluator("dp_eval_test", tables, mode="all")
 
     rng = np.random.RandomState(0)
     M, npts = 28, 20
-    gt_bbox = [10.0, 20.0, 56.0, 56.0]
+    gt_bbox = [10.0, 20.0, 56.0, 48.0]
     dp_x = rng.rand(npts) * 255
     dp_y = rng.rand(npts) * 255
     dp_I = rng.randint(1, 5, npts)
     dp_U = rng.rand(npts)
     dp_V = rng.rand(npts)
-    gt = {"bbox": gt_bbox, "dp_x": dp_x, "dp_y": dp_y, "dp_I": dp_I, "dp_U": dp_U, "dp_V": dp_V}
+    # full-box coarse mask (one part RLE covering the whole 256x256 frame)
+    dp_masks = [mask_to_rle(np.ones((256, 256), np.uint8))] + [None] * 13
+    gt = {
+        "bbox": gt_bbox,
+        "dp_x": dp_x,
+        "dp_y": dp_y,
+        "dp_I": dp_I,
+        "dp_U": dp_U,
+        "dp_V": dp_V,
+        "dp_masks": dp_masks,
+    }
 
-    # perfect prediction: IUV map that reproduces the GT at every annotated point
-    iuv = np.zeros((M, M, 3), np.float32)
-    gx = np.clip((dp_x / 255.0 * M).astype(int), 0, M - 1)
-    gy = np.clip((dp_y / 255.0 * M).astype(int), 0, M - 1)
-    iuv[gy, gx, 0] = dp_I
-    iuv[gy, gx, 1] = dp_U
-    iuv[gy, gx, 2] = dp_V
+    # perfect prediction: quantized [3, h, w] stack painted with the exact
+    # gt IUV at the pixels the protocol reads the gt points from
+    h, w = int(gt_bbox[3]), int(gt_bbox[2])
+    labels = np.ones((h, w), np.uint8)  # fg everywhere -> mask IoU 1
+    u8 = np.zeros((h, w), np.uint8)
+    v8 = np.zeros((h, w), np.uint8)
+    px = (dp_x * gt_bbox[2] / 255.0).astype(int)
+    py = (dp_y * gt_bbox[3] / 255.0).astype(int)
+    # avoid collisions overwriting each other with different parts: paint
+    # in reverse so the first point wins, matching nothing in particular —
+    # instead just deduplicate pixels by keeping the last write on BOTH the
+    # gt side and dt side (the engine reads the same pixel for both)
+    labels[py, px] = dp_I
+    u8[py, px] = np.minimum(255, np.round(dp_U * 255.0)).astype(np.uint8)
+    v8[py, px] = np.minimum(255, np.round(dp_V * 255.0)).astype(np.uint8)
+    # gt points whose pixel was overwritten by a later point would mismatch;
+    # re-read the painted maps as the gt labels so dt == gt at every point
+    dp_I = labels[py, px].astype(int)
+    dp_U = u8[py, px] / 255.0
+    dp_V = v8[py, px] / 255.0
+    gt.update({"dp_I": dp_I, "dp_U": dp_U, "dp_V": dp_V})
+    iuv = np.stack([labels, u8, v8])
 
-    ev.set_ground_truth({0: [gt]})
+    ev.set_ground_truth({0: [gt]}, image_sizes={0: (128, 128)})
     ev.reset()
     ev.process(
         None,
         [{"image_id": 0, "instances": [{"bbox": gt_bbox, "score": 0.9, "densepose": iuv}]}],
     )
-    res = ev.evaluate()["densepose"]
-    np.testing.assert_allclose(res["AP"], 100.0, atol=1e-6)
+    res = ev.evaluate()
+    np.testing.assert_allclose(res["densepose_gps"]["AP"], 100.0, atol=1e-6)
+    np.testing.assert_allclose(res["densepose_gpsm"]["AP"], 100.0, atol=1e-6)
+    np.testing.assert_allclose(res["densepose_segm"]["AP"], 100.0, atol=1e-6)
 
-    # a detection with wrong parts everywhere scores < 100
+    # a detection with wrong parts everywhere: gps ~0 but the mask is still
+    # perfect, so the segm (IOU-mode) AP stays 100
     bad = iuv.copy()
-    bad[..., 0] = (bad[..., 0] + 7) % 24
+    bad[0] = (bad[0] + 7) % 24 + 1
     ev.reset()
     ev.process(
         None,
         [{"image_id": 0, "instances": [{"bbox": gt_bbox, "score": 0.9, "densepose": bad}]}],
     )
-    res_bad = ev.evaluate()["densepose"]
-    assert res_bad["AP"] < 50.0
+    res_bad = ev.evaluate()
+    assert res_bad["densepose_gps"]["AP"] < 50.0
+    np.testing.assert_allclose(res_bad["densepose_segm"]["AP"], 100.0, atol=1e-6)
 
-    # GPSM mode: perfect boxes + perfect points still give AP 100
-    ev2 = DensePoseCOCOEvaluator("dp_eval_test", GridProvider(), mode="gpsm")
-    ev2.set_ground_truth({0: [gt]})
+    # the [M, M, 3] float chart-grid format goes through the resampling
+    # path in process(); constant part/UV makes it exact regardless of
+    # pixel alignment
+    const_gt = {
+        "bbox": gt_bbox,
+        "dp_x": dp_x,
+        "dp_y": dp_y,
+        "dp_I": np.full(npts, 3),
+        "dp_U": np.full(npts, 0.4),
+        "dp_V": np.full(npts, 0.6),
+        "dp_masks": dp_masks,
+    }
+    grid = np.zeros((M, M, 3), np.float32)
+    grid[..., 0] = 3
+    grid[..., 1] = 0.4
+    grid[..., 2] = 0.6
+    ev2 = DensePoseCOCOEvaluator("dp_eval_test", tables, mode="gps")
+    ev2.set_ground_truth({0: [const_gt]}, image_sizes={0: (128, 128)})
     ev2.reset()
     ev2.process(
         None,
-        [{"image_id": 0, "instances": [{"bbox": gt_bbox, "score": 0.9, "densepose": iuv}]}],
+        [{"image_id": 0, "instances": [{"bbox": gt_bbox, "score": 0.9, "densepose": grid}]}],
     )
-    res2 = ev2.evaluate()["densepose"]
-    np.testing.assert_allclose(res2["AP-GPSm"], 100.0, atol=1e-6)
+    res2 = ev2.evaluate()
+    np.testing.assert_allclose(res2["densepose_gps"]["AP"], 100.0, atol=1e-6)
 
 
 def test_densepose_chart_confidence_train():

@@ -1,9 +1,10 @@
 #!/bin/bash
-# Sequentially run the zoo benchmark rows missing from docs/notes/benchmarks.md
-# (BASELINE.md rows: RetinaNet / Keypoint / Panoptic FPN / Faster R-CNN FPN +
-# C4 / ViTDet train). Appends one JSON line per row to $OUT.
+# Sequentially run the zoo benchmark rows from BASELINE.md (RetinaNet /
+# Keypoint / Panoptic FPN / Faster R-CNN FPN + C4 / ViTDet train) and append
+# one JSON line per row to $OUT (default: repo-local, so the measurements
+# land in version control — round 3 wrote to /tmp and lost them).
 set -u
-OUT=${1:-/tmp/bench_rows.jsonl}
+OUT=${1:-/root/repo/docs/notes/bench_rows.jsonl}
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 

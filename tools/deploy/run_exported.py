@@ -4,6 +4,9 @@ deploy-side half (the role of reference tools/deploy/torchscript_mask_rcnn.cpp,
 on the PJRT runtime instead of libtorch).
 
     python tools/deploy/run_exported.py out.stablehlo --height 800 --width 1344
+
+.jaxexec artifacts are pickles: loading one executes arbitrary code. Only
+run executables you exported yourself.
 """
 
 import argparse
