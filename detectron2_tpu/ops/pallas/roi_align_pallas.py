@@ -43,6 +43,26 @@ ROI_BLOCK = 8  # rois per grid step (keeps VMEM blocks (8, ...) aligned)
 N_SLOTS = 4  # DMA pipeline depth; divides ROI_BLOCK so slots are static
 
 
+def _channel_chunk(C: int, dtype, ph: int, pw: int, XW: int, YH: int) -> int:
+    """Largest power-of-two channel slice whose kernel VMEM footprint fits the
+    TPU's 16MB scoped-vmem limit: the N_SLOTS window scratch + the
+    double-buffered output block + the f32 bin accumulator (the dominant
+    allocations; per-roi scalar blocks are KBs)."""
+    item = jnp.dtype(dtype).itemsize
+    budget = int(15.0 * 2**20)
+
+    def footprint(c):
+        window = N_SLOTS * YH * XW * c * item
+        out_block = 2 * ROI_BLOCK * ph * pw * c * item  # double-buffered
+        acc = ph * pw * c * 4
+        return window + out_block + acc
+
+    c = min(C, 512)
+    while c > 8 and footprint(c) > budget:
+        c //= 2
+    return c
+
+
 def _precompute(
     boxes, batch_indices, level_assignments, hs, ws, ws_true, scales, ph, pw, s, XW, YH
 ):
@@ -224,11 +244,12 @@ def roi_align_pallas_multilevel(
     dtype = feats[0].dtype
     R = boxes.shape[0]
 
-    # scoped-vmem budget: the window scratch is N_SLOTS*YH*XW*C; C4-width
-    # features (C=1024) blow the 16MB limit, so chunk channels and stack the
-    # calls (same total HBM traffic; scalar precompute is re-done per chunk
-    # but is negligible)
-    max_c = 512 if jnp.dtype(dtype).itemsize <= 2 else 256
+    # scoped-vmem budget: chunk channels so the kernel's VMEM footprint fits
+    # the 16MB scoped limit, and stack the calls (same total HBM traffic;
+    # scalar precompute is re-done per chunk but is negligible). A static
+    # 512-for-bf16 bound OOMed on the C4 head (C=512 @ 14x14: the bigger
+    # out block + f32 accumulator push it 4KB over).
+    max_c = _channel_chunk(C, dtype, ph, pw, XW, YH)
     if C > max_c:
         outs = []
         for cc in range(0, C, max_c):

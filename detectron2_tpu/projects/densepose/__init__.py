@@ -54,6 +54,7 @@ from detectron2_tpu.projects.densepose.dp_coco_eval import (
 )
 from detectron2_tpu.projects.densepose.evaluation import (
     DensePoseCOCOEvaluator,
+    MeshAlignmentEvaluator,
     MeshDistanceProvider,
     SmplDistanceProvider,
     load_smpl_mesh_tables,
@@ -222,6 +223,7 @@ __all__ = [
     "iid_isotropic_gaussian_uv_loss",
     "indep_anisotropic_gaussian_uv_loss",
     "DensePoseCOCOEvaluator",
+    "MeshAlignmentEvaluator",
     "DensePoseCocoEvalEngine",
     "DensePoseEvalParams",
     "GeodesicMeshTables",

@@ -1,20 +1,21 @@
-"""DensePose COCO evaluation with GPS / GPSM metrics
-(reference projects/DensePose/densepose/evaluation/densepose_coco_evaluation.py).
+"""DensePose COCO evaluation: GPS / GPSM / IOU metrics + mesh alignment
+(reference projects/DensePose/densepose/evaluation/{evaluator.py,
+densepose_coco_evaluation.py,mesh_alignment_evaluator.py}).
 
-GPS (geodesic point similarity) per (detection, gt) pair:
-    gps = mean_p exp(-d(p)^2 / (2 k(p)^2))
-over the gt's annotated points p, where d(p) is the mesh geodesic distance
-between the gt vertex and the vertex predicted at p, and k(p) is the
-per-part normalization (Mean_Distances in the reference). GPSM combines GPS
-with the mask IoU: gpsm = sqrt(gps * miou). AP/AR are then standard COCOeval
-accumulation with GPS(M) as the match-quality matrix.
+The protocol itself lives in :mod:`.dp_coco_eval`
+(``DensePoseCocoEvalEngine``), a numpy re-implementation of the reference's
+full COCOeval variant pinned bit-for-bit against the reference file through
+the synthetic-mesh oracle goldens (tests/projects/test_densepose_eval_oracle.py).
+This module provides the DatasetEvaluator wrapper
+(``DensePoseCOCOEvaluator``: prediction normalization, gather, the three
+densepose_gps/gpsm/segm result sections), the SMPL release-file loaders
+(``load_smpl_mesh_tables`` for the engine; the legacy
+``MeshDistanceProvider``/``SmplDistanceProvider`` pair for direct geodesic
+queries), and the CSE ``MeshAlignmentEvaluator``.
 
-The reference hard-codes the SMPL mesh files (Pdist_matrix etc., fetched
-from the DensePose data release). This environment has no network, so the
-mesh geometry is abstracted behind ``MeshDistanceProvider``:
-``SmplDistanceProvider`` loads the release files when available, and tests
-use a synthetic provider. The evaluation math downstream of the provider is
-the reference's.
+The reference fetches SMPL_subdiv.mat / Pdist_matrix.pkl /
+SMPL_SUBDIV_TRANSFORM.mat from the DensePose data release; zero-egress
+environments stage them under $DETECTRON2_DATASETS/densepose_eval_data.
 """
 
 import itertools
@@ -32,6 +33,7 @@ __all__ = [
     "MeshDistanceProvider",
     "SmplDistanceProvider",
     "DensePoseCOCOEvaluator",
+    "MeshAlignmentEvaluator",
     "load_smpl_mesh_tables",
 ]
 
@@ -220,6 +222,7 @@ class DensePoseCOCOEvaluator(DatasetEvaluator):
         self._predictions: List[Dict] = []
         self._gts: Dict[int, List[Dict]] = {}
         self._image_sizes: Dict[int, tuple] = {}
+        self._ignore_regions: Dict[int, np.ndarray] = {}
 
     def reset(self):
         self._predictions = []
@@ -228,15 +231,19 @@ class DensePoseCOCOEvaluator(DatasetEvaluator):
         self,
         gts_by_image: Dict[int, List[Dict]],
         image_sizes: Optional[Dict[int, tuple]] = None,
+        ignore_regions: Optional[Dict[int, np.ndarray]] = None,
     ):
         """Register GT annotations (image_id -> list of instance dicts with
         bbox/dp_x/dp_y/dp_I/dp_U/dp_V[/dp_masks]). In a full data pipeline
         this comes from the dataset json; exposed for direct use and tests.
         ``image_sizes``: image_id -> (height, width); needed for the GPSM /
-        IOU canvas-mask modes (defaults to bounding the boxes)."""
+        IOU canvas-mask modes (defaults to bounding the boxes).
+        ``ignore_regions``: image_id -> binary canvas mask (the rasterized
+        ignore_regions_x/y polygons from the dataset json image dicts)."""
         self._gts = gts_by_image
         if image_sizes:
             self._image_sizes.update(image_sizes)
+        self._ignore_regions = dict(ignore_regions or {})
 
     def process(self, inputs, outputs):
         """outputs: per-image dicts with 'image_id', optional 'height'/
@@ -350,6 +357,7 @@ class DensePoseCOCOEvaluator(DatasetEvaluator):
                 tables=self._tables,
                 dp_eval_mode=mode,
                 params=params,
+                ignore_regions=self._ignore_regions or None,
             )
             engine.evaluate()
             engine.accumulate()
@@ -359,3 +367,71 @@ class DensePoseCOCOEvaluator(DatasetEvaluator):
             }
         logger.info(results)
         return results
+
+
+class MeshAlignmentEvaluator:
+    """3D mesh-alignment evaluation for CSE vertex embeddings (reference
+    projects/DensePose/densepose/evaluation/mesh_alignment_evaluator.py:16-68).
+
+    For every ordered mesh pair (m1, m2): each of m1's named key vertices is
+    matched to its most-similar vertex on m2 (inner product of the learned
+    embeddings); the geodesic distance on m2 between the match and m2's
+    correspondingly-named key vertex scores the alignment, both raw (GE) and
+    as gps = exp(-d^2 / (2 * 0.255^2)) (GPS). Means are per-mesh then global.
+
+    ``embedder``: mesh_name -> [V, D] numpy/jax embedding table (the CSE
+    Embedder apply, or any callable in tests). ``mesh_keyvertices``:
+    mesh_name -> {keyvertex_name: vertex_id}; defaults to loading the
+    reference's mesh_keyvertices_v0.json from the DensePose release staged
+    under $DETECTRON2_DATASETS/densepose_meshes (zero-egress: the reference
+    fetches it from dl.fbaipublicfiles.com). ``mesh_loader``: mesh_name ->
+    object with .geodists [V, V] (defaults to meshes.create_mesh).
+    """
+
+    GPS_NORM = 0.255  # the reference's Current_Mean_Distances
+
+    def __init__(self, embedder, mesh_names=None, mesh_keyvertices=None, mesh_loader=None):
+        self.embedder = embedder
+        self.mesh_names = mesh_names if mesh_names else embedder.mesh_names
+        if mesh_keyvertices is None:
+            import json
+            import os
+
+            path = os.path.join(
+                os.environ.get("DETECTRON2_DATASETS", "datasets"),
+                "densepose_meshes",
+                "mesh_keyvertices_v0.json",
+            )
+            with open(path) as f:
+                mesh_keyvertices = json.load(f)
+        self.mesh_keyvertices = mesh_keyvertices
+        if mesh_loader is None:
+            from .meshes import create_mesh as mesh_loader
+        self.mesh_loader = mesh_loader
+
+    def evaluate(self):
+        ge_per_mesh, gps_per_mesh = {}, {}
+        for mesh_name_1 in self.mesh_names:
+            avg_errors, avg_gps = [], []
+            embeddings_1 = np.asarray(self.embedder(mesh_name_1))
+            keyvertices_1 = self.mesh_keyvertices[mesh_name_1]
+            keyvertex_names_1 = list(keyvertices_1.keys())
+            keyvertex_indices_1 = [keyvertices_1[name] for name in keyvertex_names_1]
+            for mesh_name_2 in self.mesh_names:
+                if mesh_name_1 == mesh_name_2:
+                    continue
+                embeddings_2 = np.asarray(self.embedder(mesh_name_2))
+                sim_12 = embeddings_1[keyvertex_indices_1] @ embeddings_2.T
+                matches_on_2 = sim_12.argmax(axis=1)
+                keyvertices_2 = self.mesh_keyvertices[mesh_name_2]
+                geodists = np.asarray(self.mesh_loader(mesh_name_2).geodists)[
+                    matches_on_2, [keyvertices_2[name] for name in keyvertex_names_1]
+                ]
+                gps = np.exp(-(geodists**2) / (2 * self.GPS_NORM**2))
+                avg_errors.append(float(geodists.mean()))
+                avg_gps.append(float(gps.mean()))
+            ge_per_mesh[mesh_name_1] = float(np.mean(avg_errors)) if avg_errors else float("nan")
+            gps_per_mesh[mesh_name_1] = float(np.mean(avg_gps)) if avg_gps else float("nan")
+        ge_mean_global = float(np.mean(list(ge_per_mesh.values())))
+        gps_mean_global = float(np.mean(list(gps_per_mesh.values())))
+        return ge_mean_global, gps_mean_global, {"GE": ge_per_mesh, "GPS": gps_per_mesh}

@@ -128,3 +128,30 @@ def test_wide_channels_chunked_backward():
         np.testing.assert_allclose(
             np.asarray(grads[k]), np.asarray(ref_grads[k]), rtol=1e-3, atol=1e-3
         )
+
+
+def test_channel_chunk_fits_scoped_vmem():
+    """The channel-chunk bound must keep the kernel's dominant VMEM
+    allocations (N_SLOTS window + double-buffered out block + f32
+    accumulator) under the TPU's 16MB scoped limit — the static 512-for-bf16
+    bound OOMed on the real chip for the C4 head (C=512 @ 14x14, 4KB over)."""
+    import jax.numpy as jnp
+
+    from detectron2_tpu.ops.pallas.roi_align_pallas import (
+        N_SLOTS,
+        ROI_BLOCK,
+        _channel_chunk,
+    )
+
+    def footprint(c, item, ph, pw, XW=64, YH=48):
+        return N_SLOTS * YH * XW * c * item + 2 * ROI_BLOCK * ph * pw * c * item + ph * pw * c * 4
+
+    for C, dt, ph in [(512, jnp.bfloat16, 14), (256, jnp.bfloat16, 7),
+                      (1024, jnp.bfloat16, 7), (512, jnp.float32, 14)]:
+        c = _channel_chunk(C, dt, ph, ph, 64, 48)
+        assert C % c == 0, (C, c)
+        assert footprint(c, jnp.dtype(dt).itemsize, ph, ph) <= 16 * 2**20, (C, dt, ph, c)
+    # the exact case that OOMed: must chunk below 512
+    assert _channel_chunk(512, jnp.bfloat16, 14, 14, 64, 48) < 512
+    # the standard FPN case must stay unchunked
+    assert _channel_chunk(256, jnp.bfloat16, 7, 7, 64, 48) == 256

@@ -29,12 +29,14 @@ _COLORS = {0: (220, 50, 40), 1: (40, 210, 60), 2: (50, 70, 225)}  # red, green, 
 _SIZE = 64
 
 
-def _make_synthetic_coco(root: str, n_images: int = 16, seed: int = 0):
+def _make_synthetic_coco(root: str, n_images: int = 16, seed: int = 0, keypoints: bool = False):
     """Write n_images PNGs of color-coded rectangles + a COCO json.
 
     Each image holds 1-2 axis-aligned solid rectangles on a dark noisy
     background; the category is determined by the fill color, so both the
-    detector and the mask head can drive the loss to ~0.
+    detector and the mask head can drive the loss to ~0. With
+    ``keypoints=True`` each instance also carries 4 visible keypoints (the
+    rectangle corners, inset by 2px so the heatmap argmax is unambiguous).
     """
     from PIL import Image
 
@@ -59,27 +61,35 @@ def _make_synthetic_coco(root: str, n_images: int = 16, seed: int = 0):
             cat = int(rng.randint(0, 3))
             img[y0 : y0 + h, x0 : x0 + w] = _COLORS[cat]
             x1, y1 = x0 + w, y0 + h
-            annotations.append(
-                {
-                    "id": ann_id,
-                    "image_id": img_id,
-                    "category_id": cat + 1,
-                    "bbox": [x0, y0, w, h],
-                    "area": w * h,
-                    "iscrowd": 0,
-                    "segmentation": [[x0, y0, x1, y0, x1, y1, x0, y1]],
-                }
-            )
+            ann = {
+                "id": ann_id,
+                "image_id": img_id,
+                "category_id": cat + 1,
+                "bbox": [x0, y0, w, h],
+                "area": w * h,
+                "iscrowd": 0,
+                "segmentation": [[x0, y0, x1, y0, x1, y1, x0, y1]],
+            }
+            if keypoints:
+                corners = [
+                    (x0 + 2, y0 + 2),
+                    (x1 - 2, y0 + 2),
+                    (x1 - 2, y1 - 2),
+                    (x0 + 2, y1 - 2),
+                ]
+                ann["keypoints"] = [v for (kx, ky) in corners for v in (kx, ky, 2)]
+                ann["num_keypoints"] = 4
+            annotations.append(ann)
             ann_id += 1
         fname = f"synth_{img_id:03d}.png"
         Image.fromarray(img).save(os.path.join(img_dir, fname))
         images.append({"id": img_id, "file_name": fname, "height": _SIZE, "width": _SIZE})
 
-    coco = {
-        "images": images,
-        "annotations": annotations,
-        "categories": [{"id": i + 1, "name": n} for i, n in enumerate(["red", "green", "blue"])],
-    }
+    categories = [{"id": i + 1, "name": n} for i, n in enumerate(["red", "green", "blue"])]
+    if keypoints:
+        for c in categories:
+            c["keypoints"] = ["tl", "tr", "br", "bl"]
+    coco = {"images": images, "annotations": annotations, "categories": categories}
     json_file = os.path.join(root, "synth.json")
     with open(json_file, "w") as f:
         json.dump(coco, f)
@@ -153,3 +163,56 @@ def test_training_acc_synthetic_coco(tmp_path):
     # message for debuggability
     assert bbox_ap >= 50.0, f"bbox AP {bbox_ap}"
     assert segm_ap >= 40.0, f"segm AP {segm_ap}"
+
+
+def test_training_acc_synthetic_keypoints(tmp_path):
+    """Second head family through the same closed loop: Keypoint R-CNN on
+    rectangle corners (4 keypoints), gated through EvalHook ->
+    COCOEvaluator keypoint AP with custom OKS sigmas — the analogue of the
+    reference's keypoint_rcnn_R_50_FPN_training_acc_test.yaml."""
+    from detectron2_tpu.data.catalog import DatasetCatalog, MetadataCatalog
+    from detectron2_tpu.data.datasets import register_coco_instances
+    from detectron2_tpu.engine import DefaultTrainer
+    from detectron2_tpu.evaluation import COCOEvaluator
+
+    json_file, img_dir = _make_synthetic_coco(str(tmp_path), keypoints=True)
+    name = "synth_overfit_kp"
+    if name in DatasetCatalog.list():
+        DatasetCatalog.remove(name)
+        MetadataCatalog.remove(name)
+    register_coco_instances(name, {}, json_file, img_dir)
+    # corner keypoints have no left/right twins; empty flip map, but flips
+    # are disabled below anyway (a horizontal flip maps tl->tr which an
+    # empty flip map cannot express)
+    MetadataCatalog.get(name).set(keypoint_names=["tl", "tr", "br", "bl"], keypoint_flip_map=[])
+
+    class Trainer(DefaultTrainer):
+        @classmethod
+        def build_evaluator(cls, cfg, dataset_name):
+            return COCOEvaluator(
+                dataset_name,
+                output_dir=os.path.join(cfg.OUTPUT_DIR, "eval"),
+                distributed=False,
+                kpt_oks_sigmas=cfg.TEST.KEYPOINT_OKS_SIGMAS,
+            )
+
+    cfg = _overfit_cfg(str(tmp_path / "output_kp"))
+    cfg.DATASETS.TRAIN = (name,)
+    cfg.DATASETS.TEST = (name,)
+    cfg.MODEL.MASK_ON = False
+    cfg.MODEL.KEYPOINT_ON = True
+    cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_KEYPOINTS = 4
+    cfg.MODEL.ROI_KEYPOINT_HEAD.CONV_DIMS = (32, 32)
+    cfg.INPUT.RANDOM_FLIP = "none"
+    cfg.TEST.KEYPOINT_OKS_SIGMAS = [0.1, 0.1, 0.1, 0.1]
+    cfg.TEST.EXPECTED_RESULTS = [
+        ["bbox", "AP", 75.0, 25.0],
+        ["keypoints", "AP", 60.0, 40.0],
+    ]
+    trainer = Trainer(cfg)
+    results = trainer.train()
+
+    assert results is not None and "bbox" in results and "keypoints" in results
+    kp_ap = results["keypoints"]["AP"]
+    assert np.isfinite(kp_ap)
+    assert kp_ap >= 20.0, f"keypoint AP {kp_ap}"

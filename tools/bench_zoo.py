@@ -84,13 +84,27 @@ def main():
     ap.add_argument("--train", action="store_true")
     ap.add_argument("--baseline-s-im", type=float, default=0.0,
                     help="reference published s/im (inference) or s/it/batch-16 (train)")
+    ap.add_argument("--baseline-img-s", type=float, default=0.0,
+                    help="reference per-chip img/s directly (overrides --baseline-s-im; "
+                    "use for rows whose published s/it is not the 8xV100 batch-16 convention)")
+    ap.add_argument("--use-checkpoint", action="store_true",
+                    help="enable backbone remat (lazy ViT configs) for train benches")
     ap.add_argument("--metric", default="", help="metric name override")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
-    cfg, model, is_lazy = build(args.config)
+    if args.use_checkpoint:
+        # must be set before instantiate -> patch the loader path
+        from detectron2_tpu.config import LazyConfig, instantiate
+
+        cfg = LazyConfig.load(args.config)
+        cfg.model.backbone.net.use_checkpoint = True
+        model = instantiate(cfg.model)
+        is_lazy = True
+    else:
+        cfg, model, is_lazy = build(args.config)
     H, W = (int(s) for s in args.hw.split(","))
     B = args.batch
 
@@ -184,7 +198,9 @@ def main():
         "unit": "img/s",
         "ms_per_iter": round(dt * 1000, 1),
     }
-    if args.baseline_s_im > 0:
+    if args.baseline_img_s > 0:
+        record["vs_baseline"] = round(img_s / args.baseline_img_s, 3)
+    elif args.baseline_s_im > 0:
         base_img_s = (16 / args.baseline_s_im) / 8 if args.train else 1.0 / args.baseline_s_im
         record["vs_baseline"] = round(img_s / base_img_s, 3)
     if flops > 0:
