@@ -1,91 +1,88 @@
 #!/usr/bin/env python
-"""Regenerate the measured counts quoted in README.md / MODEL_ZOO.md from the
-repo itself, so the docs can't drift from reality again (stale test/config
-counts were flagged in rounds 2 AND 3).
+"""Regenerate the counts quoted in README.md / MODEL_ZOO.md from the repo
+itself, so they cannot drift (rounds 2 and 3 both flagged stale hand-written
+test/config counts).
 
-Counts are injected between literal markers already present in the docs:
-  README.md:    "<N>+ tests"        -> collected test count (floored to 10s)
-  MODEL_ZOO.md: "(<N> config files)" -> find configs -name '*.yaml' -o '*.py'
+Rewrites in place:
+  * README.md   — the "NNN+ tests" phrase, from `pytest --collect-only`
+  * MODEL_ZOO.md — the "## Config families (N config files)" heading, from
+    `find configs -name '*.yaml' -o -name '*.py'`
 
-Usage: PYTHONPATH=/root/repo python dev/update_doc_counts.py [--check]
---check exits 1 when the docs are stale instead of rewriting them (CI/test
-hook).
+Run from the repo root (CI-free environment: run it by hand after adding
+tests/configs, or let the round driver call it):
+
+    python dev/update_doc_counts.py [--check]
+
+--check exits 1 if any file would change (usable as a test gate).
 """
 
 import argparse
-import os
+import pathlib
 import re
 import subprocess
 import sys
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ROOT = pathlib.Path(__file__).resolve().parent.parent
 
 
-def collected_test_count() -> int:
+def count_tests() -> int:
     out = subprocess.run(
-        [sys.executable, "-m", "pytest", "tests/", "--collect-only", "-q"],
-        cwd=REPO,
+        [sys.executable, "-m", "pytest", "tests/", "-q", "--collect-only"],
+        cwd=ROOT,
         capture_output=True,
         text=True,
-        timeout=600,
     )
     m = re.search(r"(\d+) tests collected", out.stdout)
     if not m:
-        m = re.search(r"(\d+)/(\d+) tests collected", out.stdout)
-        if m:
-            return int(m.group(2))
-        raise RuntimeError(f"could not parse pytest collect output:\n{out.stdout[-2000:]}")
+        raise RuntimeError(f"could not parse collected-test count:\n{out.stdout[-2000:]}")
     return int(m.group(1))
 
 
-def config_file_count() -> int:
-    n = 0
-    for root, _dirs, files in os.walk(os.path.join(REPO, "configs")):
-        n += sum(1 for f in files if f.endswith((".yaml", ".py")) and f != "__init__.py")
-    return n
+def count_configs() -> int:
+    return sum(1 for p in (ROOT / "configs").rglob("*") if p.suffix in (".yaml", ".py"))
 
 
-def patch(path: str, pattern: str, repl: str, check: bool) -> bool:
-    with open(path) as f:
-        text = f.read()
-    new = re.sub(pattern, repl, text)
+def rewrite(path: pathlib.Path, pattern: str, repl: str, check: bool) -> bool:
+    text = path.read_text()
+    new, n = re.subn(pattern, repl, text)
+    if n == 0:
+        raise RuntimeError(f"{path.name}: pattern {pattern!r} not found — doc layout changed?")
     if new == text:
         return False
-    if check:
-        print(f"STALE: {path}: /{pattern}/ -> {repl}")
-        return True
-    with open(path, "w") as f:
-        f.write(new)
-    print(f"updated {path}: {repl}")
+    if not check:
+        path.write_text(new)
     return True
 
 
-def main():
+def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--check", action="store_true")
+    ap.add_argument("--check", action="store_true", help="exit 1 if docs are stale, change nothing")
     args = ap.parse_args()
 
-    tests = collected_test_count()
-    tests_floor = tests // 10 * 10
-    configs = config_file_count()
+    n_tests = count_tests()
+    n_cfgs = count_configs()
+    # round tests down to the nearest 10 for a stable "NNN+" phrasing
+    tests_floor = (n_tests // 10) * 10
 
-    changed = False
-    changed |= patch(
-        os.path.join(REPO, "README.md"),
-        r"\d+\+ tests",
-        f"{tests_floor}+ tests",
+    changed = []
+    if rewrite(ROOT / "README.md", r"\d+\+ tests", f"{tests_floor}+ tests", args.check):
+        changed.append("README.md")
+    if rewrite(
+        ROOT / "MODEL_ZOO.md",
+        r"## Config families \(\d+ config files\)",
+        f"## Config families ({n_cfgs} config files)",
         args.check,
-    )
-    changed |= patch(
-        os.path.join(REPO, "MODEL_ZOO.md"),
-        r"\(\d+ config files\)",
-        f"({configs} config files)",
-        args.check,
-    )
-    print(f"measured: {tests} tests collected, {configs} config files")
-    if args.check and changed:
-        sys.exit(1)
+    ):
+        changed.append("MODEL_ZOO.md")
+
+    print(f"tests collected: {n_tests} (doc says {tests_floor}+); configs: {n_cfgs}")
+    if changed:
+        verb = "STALE" if args.check else "updated"
+        print(f"{verb}: {', '.join(changed)}")
+        return 1 if args.check else 0
+    print("docs up to date")
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
