@@ -104,6 +104,10 @@ def add_densepose_config(cfg):
     cfg.MODEL.ROI_DENSEPOSE_HEAD.UP_SCALE = 2
     # 2 (fg/bg) or 15 (14 body parts + background) coarse channels
     cfg.MODEL.ROI_DENSEPOSE_HEAD.NUM_COARSE_SEGM_CHANNELS = 2
+    # train the coarse segmentation against rasterized GT masks instead of at
+    # the annotated dp points (reference config.py:90, losses/mask_or_segm.py;
+    # the animal CSE configs where dp coarse-segm annotations are absent)
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.COARSE_SEGM_TRAINED_BY_MASKS = False
     cfg.MODEL.ROI_DENSEPOSE_HEAD.POOLER_TYPE = "ROIAlignV2"
     cfg.MODEL.ROI_DENSEPOSE_HEAD.POOLER_RESOLUTION = 28
     cfg.MODEL.ROI_DENSEPOSE_HEAD.POOLER_SAMPLING_RATIO = 2
@@ -168,5 +172,35 @@ def add_densepose_config(cfg):
     cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE.EMBED_LOSS_NAME = "EmbeddingLoss"
     cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE.EMBEDDING_DIST_GAUSS_SIGMA = 0.01
     cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE.GEODESIC_DIST_GAUSS_SIGMA = 0.01
-    # (mesh_name, num_vertices) pairs; smpl_27554 is the DensePose-COCO mesh
-    cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE.EMBEDDERS = [["smpl_27554", 27554]]
+    # per-mesh embedder specs, reference dict layout (TYPE/NUM_VERTICES/
+    # FEATURE_DIM/FEATURES_TRAINABLE/IS_TRAINABLE/INIT_FILE subspecs,
+    # reference config.py:114 CN(new_allowed=True)). The legacy list-of-pairs
+    # layout [["smpl_27554", 27554]] is also accepted when assigned
+    # programmatically — see cse.embedder_specs_from_cfg. Empty (the default)
+    # means one trainable vertex_direct smpl_27554 embedder.
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE.EMBEDDERS = CN(new_allowed=True)
+
+    # shape-to-shape cycle-consistency loss (the m2m "evolution" configs;
+    # reference config.py:130-140)
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE.SHAPE_TO_SHAPE_CYCLE_LOSS = CN({"ENABLED": False})
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE.SHAPE_TO_SHAPE_CYCLE_LOSS.WEIGHT = 0.025
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE.SHAPE_TO_SHAPE_CYCLE_LOSS.NORM_P = 2
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE.SHAPE_TO_SHAPE_CYCLE_LOSS.TEMPERATURE = 0.05
+    # vertex subsample size per mesh (<=0: all vertices). TPU redesign note:
+    # the subsample is drawn once at build time (fixed seed) instead of the
+    # reference's per-step randperm, so the geodist submatrices are compile
+    # -time constants; the random mesh PAIR per step is preserved via rng.
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE.SHAPE_TO_SHAPE_CYCLE_LOSS.MAX_NUM_VERTICES = 4936
+
+    # pixel-to-shape cycle-consistency loss (the i2m "evolution" configs;
+    # reference config.py:141-155)
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE.PIX_TO_SHAPE_CYCLE_LOSS = CN({"ENABLED": False})
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE.PIX_TO_SHAPE_CYCLE_LOSS.WEIGHT = 0.0001
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE.PIX_TO_SHAPE_CYCLE_LOSS.NORM_P = 2
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE.PIX_TO_SHAPE_CYCLE_LOSS.USE_ALL_MESHES_NOT_GT_ONLY = False
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE.PIX_TO_SHAPE_CYCLE_LOSS.NUM_PIXELS_TO_SAMPLE = 100
+    # kept for config parity: the reference reads PIXEL_SIGMA but its forward
+    # never uses it (cycle_pix2shape.py:66 vs 122-145)
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE.PIX_TO_SHAPE_CYCLE_LOSS.PIXEL_SIGMA = 5.0
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE.PIX_TO_SHAPE_CYCLE_LOSS.TEMPERATURE_PIXEL_TO_VERTEX = 0.05
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE.PIX_TO_SHAPE_CYCLE_LOSS.TEMPERATURE_VERTEX_TO_PIXEL = 0.05

@@ -27,9 +27,17 @@ __all__ = [
     "VertexDirectEmbedder",
     "VertexFeatureEmbedder",
     "Embedder",
+    "EmbedderSpec",
+    "embedder_specs_from_cfg",
+    "embedder_init_files_from_cfg",
+    "load_embedder_features",
     "cse_embedding_loss",
     "cse_soft_embedding_loss",
     "closest_vertices_from_embedding",
+    "sample_fg_pixels",
+    "pix_to_shape_cycle_loss",
+    "shape_to_shape_cycle_loss",
+    "build_cycle_mesh_data",
 ]
 
 
@@ -89,24 +97,123 @@ class VertexFeatureEmbedder(nn.Module):
         return normalize_embeddings(feats @ w)
 
 
+#: canonical per-mesh embedder spec:
+#: (mesh_name, type, num_vertices, feature_dim, embed_dim,
+#:  features_trainable, is_trainable)
+#: type is "vertex_direct" (learned [K, D] table) or "vertex_feature"
+#: (fixed/learned [K, F] LBO features projected by a learned [F, D] matrix)
+EmbedderSpec = Tuple[str, str, int, int, int, bool, bool]
+
+
+def embedder_specs_from_cfg(cfg) -> Tuple[EmbedderSpec, ...]:
+    """Normalize cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE.EMBEDDERS into canonical
+    specs. Accepts BOTH layouts:
+
+    * the reference's dict form (reference cse/embedder.py:31-66)::
+
+        EMBEDDERS:
+          "smpl_27554":
+            TYPE: vertex_feature
+            NUM_VERTICES: 27554
+            FEATURE_DIM: 256
+            FEATURES_TRAINABLE: False
+            IS_TRAINABLE: True
+            INIT_FILE: "..."
+
+    * the legacy list-of-pairs form ``[["smpl_27554", 27554]]`` (a trainable
+      vertex_direct embedder per entry).
+    """
+    h = cfg.MODEL.ROI_DENSEPOSE_HEAD
+    embed_dim = int(h.CSE.EMBED_SIZE)
+    raw = h.CSE.EMBEDDERS
+    if not raw:  # empty default: the DensePose-COCO SMPL mesh, trainable table
+        return (("smpl_27554", "vertex_direct", 27554, 0, embed_dim, False, True),)
+    specs = []
+    if isinstance(raw, (list, tuple)):
+        for name, n in raw:
+            specs.append((str(name), "vertex_direct", int(n), 0, embed_dim, False, True))
+    else:  # CfgNode / mapping: the reference layout
+        for name in sorted(raw.keys()):
+            s = raw[name]
+            get = (lambda k, d: s.get(k, d)) if hasattr(s, "get") else (lambda k, d: getattr(s, k, d))
+            specs.append(
+                (
+                    str(name),
+                    str(get("TYPE", "vertex_direct")),
+                    int(get("NUM_VERTICES", 0)),
+                    int(get("FEATURE_DIM", 0)),
+                    embed_dim,
+                    bool(get("FEATURES_TRAINABLE", False)),
+                    bool(get("IS_TRAINABLE", True)),
+                )
+            )
+    return tuple(specs)
+
+
+def embedder_init_files_from_cfg(cfg) -> Dict[str, str]:
+    """mesh_name -> INIT_FILE for specs that declare one (dict layout only)."""
+    raw = cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE.EMBEDDERS
+    if isinstance(raw, (list, tuple)):
+        return {}
+    out = {}
+    for name in raw.keys():
+        s = raw[name]
+        f = s.get("INIT_FILE", "") if hasattr(s, "get") else getattr(s, "INIT_FILE", "")
+        if f:
+            out[str(name)] = str(f)
+    return out
+
+
+def _normalize_spec(spec) -> EmbedderSpec:
+    if len(spec) == 3:  # legacy (name, num_vertices, embed_dim)
+        name, n, d = spec
+        return (str(name), "vertex_direct", int(n), 0, int(d), False, True)
+    return spec
+
+
 class Embedder(nn.Module):
     """Per-mesh embedders, keyed by mesh name (reference cse/embedder.py).
-    Call with a mesh name to get its [K, D] vertex embeddings."""
+    Call with a mesh name to get its [K, D] vertex embeddings. Non-trainable
+    embedders (IS_TRAINABLE False) return stop_gradient'ed embeddings — the
+    functional analogue of the reference's ``requires_grad_(False)``."""
 
-    mesh_specs: Tuple[Tuple[str, int, int], ...]  # (mesh_name, num_vertices, embed_dim)
+    mesh_specs: Tuple[Tuple, ...]  # EmbedderSpec (or legacy 3-tuples)
 
     def setup(self):
-        self._embedders = {
-            name: VertexDirectEmbedder(num_vertices=n, embed_dim=d, name=f"embedder_{name}")
-            for name, n, d in self.mesh_specs
+        embedders = {}
+        for spec in self.mesh_specs:
+            name, etype, n, f, d, feats_train, _ = _normalize_spec(spec)
+            if etype == "vertex_feature":
+                embedders[name] = VertexFeatureEmbedder(
+                    num_vertices=n,
+                    feature_dim=f,
+                    embed_dim=d,
+                    train_features=feats_train,
+                    name=f"embedder_{name}",
+                )
+            elif etype == "vertex_direct":
+                embedders[name] = VertexDirectEmbedder(
+                    num_vertices=n, embed_dim=d, name=f"embedder_{name}"
+                )
+            else:
+                raise ValueError(f"Unexpected embedder type {etype!r} for mesh {name!r}")
+        self._embedders = embedders
+        self._trainable = {
+            _normalize_spec(s)[0]: _normalize_spec(s)[6] for s in self.mesh_specs
         }
 
     @property
     def mesh_names(self):
-        return tuple(name for name, _, _ in self.mesh_specs)
+        return tuple(_normalize_spec(s)[0] for s in self.mesh_specs)
+
+    def has_embeddings(self, mesh_name: str) -> bool:
+        return mesh_name in self._embedders
 
     def __call__(self, mesh_name: str) -> jnp.ndarray:
-        return self._embedders[mesh_name]()
+        emb = self._embedders[mesh_name]()
+        if not self._trainable[mesh_name]:
+            emb = jax.lax.stop_gradient(emb)
+        return emb
 
 
 def cse_embedding_loss(
@@ -182,3 +289,173 @@ def load_mesh_data(fpath: str) -> Dict[str, np.ndarray]:
     from the DensePose data layout; host-side helper for evaluators."""
     with open(fpath, "rb") as f:
         return pickle.load(f)
+
+
+def load_embedder_features(variables, specs, init_files: Dict[str, str], prefix=("buffers",)):
+    """Fill vertex_feature embedders' fixed feature buffers from their
+    INIT_FILE pickles (reference cse/vertex_feature_embedder.py:55-70 loads
+    {"features": [K, F]} at construction). Host-side, best-effort: entries
+    whose INIT_FILE is not a readable local path (e.g. an unfetched URL in
+    this zero-egress environment) are skipped with a log line. Returns the
+    updated variables pytree."""
+    import logging
+    import os
+
+    logger = logging.getLogger(__name__)
+    variables = dict(variables)
+    for spec in specs:
+        name, etype, n, f, _, feats_train, _ = _normalize_spec(spec)
+        fpath = init_files.get(name, "")
+        if etype != "vertex_feature" or not fpath:
+            continue
+        if not os.path.isfile(fpath):
+            logger.info("Embedder %s: INIT_FILE %s not a local file, skipping", name, fpath)
+            continue
+        with open(fpath, "rb") as fh:
+            data = pickle.load(fh, encoding="latin1")
+        feats = np.asarray(data["features"] if isinstance(data, dict) else data, np.float32)
+        assert feats.shape == (n, f), (name, feats.shape, (n, f))
+        coll = "params" if feats_train else "buffers"
+        tree = variables
+        # walk to roi_heads' embedder scope wherever it lives in the tree
+        def place(d):
+            for k, v in d.items():
+                if k == f"embedder_{name}" and isinstance(v, dict) and "features" in v:
+                    v["features"] = jnp.asarray(feats)
+                    return True
+                if isinstance(v, dict) and place(v):
+                    return True
+            return False
+
+        import jax.tree_util as jtu  # noqa: F401  (kept for symmetry with callers)
+
+        target = tree.get(coll, {})
+        target = jax.tree_util.tree_map(lambda x: x, target)  # shallow-ish copy
+        if not place(target):
+            logger.warning("Embedder %s: no features buffer found in %r collection", name, coll)
+        else:
+            variables[coll] = target
+    return variables
+
+
+# ---------------------------------------------------------------------------
+# Cycle-consistency losses (the reference's "Discovering Relationships between
+# Object Categories via Universal Canonical Maps" evolution losses)
+# ---------------------------------------------------------------------------
+
+
+def _matrix_norm(x: jnp.ndarray, p: int) -> jnp.ndarray:
+    """torch.norm(X, p) semantics on a matrix: entrywise p-norm
+    (p=2 -> Frobenius)."""
+    if p == 2:
+        return jnp.sqrt(jnp.maximum((x * x).sum(), 1e-12))
+    return (jnp.abs(x) ** p).sum() ** (1.0 / p)
+
+
+def sample_fg_pixels(rng: jnp.ndarray, fg_mask: jnp.ndarray, num: int):
+    """Uniform sample WITHOUT replacement of ``num`` foreground pixel indices
+    from a [S, S] mask, fixed output shape (TPU redesign of the reference's
+    ``randperm(num_fg)[:num]``, cycle_pix2shape.py:32-39, via the Gumbel
+    top-k trick — with uniform logits it is exactly a uniform sample without
+    replacement). Returns (idx [num] int32 flat indices, valid [num] bool);
+    when the mask has fewer than ``num`` fg pixels the surplus slots are
+    marked invalid instead of shrinking the shape."""
+    flat = fg_mask.reshape(-1).astype(jnp.float32)
+    logits = jnp.where(flat > 0, 0.0, -jnp.inf)
+    g = logits + jax.random.gumbel(rng, flat.shape)
+    _, idx = jax.lax.top_k(g, num)
+    return idx.astype(jnp.int32), flat[idx] > 0
+
+
+def build_cycle_mesh_data(
+    specs,
+    max_num_vertices: int,
+    seed: int = 0,
+    geodists: Optional[Dict[str, np.ndarray]] = None,
+):
+    """Per-mesh (name, vertex_idx, geodists_submatrix) tuples for the
+    shape-to-shape cycle loss. TPU redesign of the reference's per-step
+    ``sample_random_indices`` (cycle_shape2shape.py:88-96): the vertex
+    subsample is drawn ONCE here with a fixed seed so the [N, N] geodist
+    submatrices are compile-time constants; the random mesh PAIR per step
+    stays stochastic (lax.switch on a sampling rng in the head).
+
+    ``geodists`` maps mesh name -> full [K, K] geodesic matrix; names absent
+    from it are loaded from the MeshCatalog's staged files (create_mesh).
+    """
+    out = []
+    for li, spec in enumerate(specs):
+        name, _, n, _, _, _, _ = _normalize_spec(spec)
+        if geodists is not None and name in geodists:
+            geo = np.asarray(geodists[name], np.float32)
+        else:
+            from detectron2_tpu.projects.densepose.meshes import create_mesh
+
+            geo = create_mesh(name).get_geodists()
+        if max_num_vertices > 0 and n > max_num_vertices:
+            rs = np.random.RandomState(seed + li)
+            idx = np.sort(rs.choice(n, max_num_vertices, replace=False))
+            geo = geo[np.ix_(idx, idx)]
+            idx = jnp.asarray(idx, jnp.int32)
+        else:
+            idx = None
+        out.append((name, idx, jnp.asarray(geo, jnp.float32)))
+    return tuple(out)
+
+
+def pix_to_shape_cycle_loss(
+    pixel_embeddings: jnp.ndarray,  # [S, S, D] one instance's embedding map
+    fg_mask: jnp.ndarray,  # [S, S] GT foreground mask
+    mesh_vertex_embeddings: jnp.ndarray,  # [K, D] (normalized)
+    rng: jnp.ndarray,
+    num_pixels: int = 100,
+    temperature_pix_to_vertex: float = 0.05,
+    temperature_vertex_to_pix: float = 0.05,
+    norm_p: int = 2,
+) -> jnp.ndarray:
+    """Pixel->vertex->pixel cycle-consistency for one instance against one
+    mesh (reference losses/cycle_pix2shape.py:122-145): round-trip soft
+    correspondence through the mesh should land near the starting pixel, so
+    the loss is ||pixel_dists * C_cycle||_p with pixel_dists the squared
+    pixel-grid distances of the sampled points. (The reference's PIXEL_SIGMA
+    config is read but unused in its forward; mirrored here by not taking
+    it.) Invalid sampled slots (mask smaller than ``num_pixels``) contribute
+    zero via dist-row masking."""
+    S = fg_mask.shape[-1]
+    idx, valid = sample_fg_pixels(rng, fg_mask, num_pixels)
+    rows = (idx // S).astype(jnp.float32)
+    cols = (idx % S).astype(jnp.float32)
+    coords = jnp.stack([rows, cols], -1)  # [M, 2]
+    pixel_dists = squared_euclidean_distance_matrix(coords, coords)  # [M, M]
+    v = valid.astype(jnp.float32)
+    pixel_dists = pixel_dists * v[:, None] * v[None, :]
+
+    D = pixel_embeddings.shape[-1]
+    emb = normalize_embeddings(pixel_embeddings.reshape(-1, D)[idx])  # [M, D]
+    sim = emb @ mesh_vertex_embeddings.T  # [M, K]
+    c_pix_vertex = jax.nn.softmax(sim / temperature_pix_to_vertex, axis=1)
+    c_vertex_pix = jax.nn.softmax(sim.T / temperature_vertex_to_pix, axis=1)
+    c_cycle = c_pix_vertex @ c_vertex_pix  # [M, M]
+    return _matrix_norm(pixel_dists * c_cycle, norm_p)
+
+
+def shape_to_shape_cycle_loss(
+    embeddings_1: jnp.ndarray,  # [N1, D] (normalized) vertex embeddings, mesh 1
+    geodists_1: jnp.ndarray,  # [N1, N1] geodesic distances, mesh 1
+    embeddings_2: jnp.ndarray,  # [N2, D]
+    geodists_2: jnp.ndarray,  # [N2, N2]
+    temperature: float = 0.05,
+    norm_p: int = 2,
+) -> jnp.ndarray:
+    """Mesh<->mesh cycle-consistency for one pair of shapes (reference
+    losses/cycle_shape2shape.py:97-121, after "Mapping in a Cycle"): soft
+    correspondences 1->2->1 and 2->1->2 should stay geodesically close to
+    the identity. Vertex subsampling (the reference's per-step randperm,
+    MAX_NUM_VERTICES) is the caller's job — pass pre-subsampled embeddings
+    and the matching geodist submatrix."""
+    sim_12 = embeddings_1 @ embeddings_2.T
+    c_12 = jax.nn.softmax(sim_12 / temperature, axis=1)
+    c_21 = jax.nn.softmax(sim_12.T / temperature, axis=1)
+    c_11 = c_12 @ c_21
+    c_22 = c_21 @ c_12
+    return _matrix_norm(geodists_1 * c_11, norm_p) + _matrix_norm(geodists_2 * c_22, norm_p)

@@ -12,6 +12,8 @@ targets the compiled DensePose loss consumes:
     gt_dp_points [B, G, P, 2]  absolute (x, y) in the network input frame
     gt_dp_part   [B, G, P]     point part labels 1..24, -1 padding
     gt_dp_u/v    [B, G, P]     chart coordinates in [0, 1]
+    gt_dp_vertex [B, G, P]     CSE GT vertex ids, -1 padding (cse splits)
+    gt_dp_mesh_id [B, G]       MeshCatalog id of each instance's mesh, -1 pad
 """
 
 import copy
@@ -67,7 +69,10 @@ class DensePoseDatasetMapper(DatasetMapper):
             if obj.get("iscrowd", 0):
                 continue
             ok, _ = DensePoseDataRelative.validate_annotation(obj)
-            if ok and DensePoseDataRelative.I_KEY in obj:
+            if ok and (
+                DensePoseDataRelative.I_KEY in obj
+                or DensePoseDataRelative.VERTEX_IDS_KEY in obj
+            ):
                 dp = DensePoseDataRelative(obj, cleanup=True)
                 dp.apply_transform(transforms, self.densepose_transform_data)
                 dp_datas.append(dp)
@@ -97,9 +102,11 @@ class DensePoseDatasetMapper(DatasetMapper):
         part = np.full((G, P), -1, np.int64)
         u = np.zeros((G, P), np.float32)
         v = np.zeros((G, P), np.float32)
+        vert = np.full((G, P), -1, np.int64)
+        mesh_id = np.full((G,), -1, np.int64)
         boxes = np.asarray(instances.gt_boxes.tensor, np.float64) if G else np.zeros((0, 4))
         for g, dp in enumerate(dp_datas[:G]):
-            if dp is None or not hasattr(dp, "i"):
+            if dp is None:
                 continue
             n = min(len(dp.x), P)
             x0, y0, x1, y1 = boxes[g]
@@ -109,14 +116,27 @@ class DensePoseDatasetMapper(DatasetMapper):
             # (reference data_relative.py docstring: x_img = x0 + x * w / 256)
             pts[g, :n, 0] = x0 + dp.x[:n] * w / DensePoseDataRelative.MASK_SIZE
             pts[g, :n, 1] = y0 + dp.y[:n] * h / DensePoseDataRelative.MASK_SIZE
-            part[g, :n] = dp.i[:n]
-            u[g, :n] = np.clip(dp.u[:n], 0.0, 1.0)
-            v[g, :n] = np.clip(dp.v[:n], 0.0, 1.0)
+            if hasattr(dp, "i"):
+                part[g, :n] = dp.i[:n]
+                u[g, :n] = np.clip(dp.u[:n], 0.0, 1.0)
+                v[g, :n] = np.clip(dp.v[:n], 0.0, 1.0)
+            if hasattr(dp, "vertex_ids"):
+                # CSE annotations: GT vertex id per point + the instance's
+                # mesh (ref_model -> catalog id; reference data_relative.py:67,
+                # meshes/catalog.py get_mesh_id)
+                vert[g, :n] = dp.vertex_ids[:n]
+                from detectron2_tpu.projects.densepose.meshes import MeshCatalog
+
+                name = getattr(dp, "mesh_name", None) or "smpl_27554"
+                if name in MeshCatalog.mesh_ids:
+                    mesh_id[g] = MeshCatalog.get_mesh_id(name)
 
         instances.gt_dp_points = pts
         instances.gt_dp_part = part
         instances.gt_dp_u = u
         instances.gt_dp_v = v
+        instances.gt_dp_vertex = vert
+        instances.gt_dp_mesh_id = mesh_id
         dataset_dict["instances"] = utils.filter_empty_instances(instances)
 
 
@@ -137,6 +157,9 @@ class DensePoseBatchCollator(PaddedBatchCollator):
         part = np.full((B, G, P), -1, np.int64)
         u = np.zeros((B, G, P), np.float32)
         v = np.zeros((B, G, P), np.float32)
+        vert = np.full((B, G, P), -1, np.int64)
+        mesh_id = np.full((B, G), -1, np.int64)
+        has_cse = hasattr(batch_list[0]["instances"], "gt_dp_vertex")
         for i, d in enumerate(batch_list):
             inst = d["instances"]
             g = min(len(inst), G)
@@ -145,10 +168,16 @@ class DensePoseBatchCollator(PaddedBatchCollator):
                 part[i, :g] = inst.gt_dp_part[:g]
                 u[i, :g] = inst.gt_dp_u[:g]
                 v[i, :g] = inst.gt_dp_v[:g]
+                if has_cse:
+                    vert[i, :g] = inst.gt_dp_vertex[:g]
+                    mesh_id[i, :g] = inst.gt_dp_mesh_id[:g]
         out["gt_dp_points"] = pts
         out["gt_dp_part"] = part
         out["gt_dp_u"] = u
         out["gt_dp_v"] = v
+        if has_cse:
+            out["gt_dp_vertex"] = vert
+            out["gt_dp_mesh_id"] = mesh_id
         return out
 
 
@@ -167,6 +196,11 @@ _DENSEPOSE_SPLITS = {
     "densepose_coco_2014_valminusminival": (
         "coco/val2014",
         "coco/annotations/densepose_valminusminival2014.json",
+    ),
+    # chart-annotated DensePose-Chimps (reference coco.py:76-80)
+    "densepose_chimps": (
+        "densepose_chimps/images",
+        "densepose_chimps/densepose_chimps_densepose.json",
     ),
 }
 
@@ -188,6 +222,15 @@ _DENSEPOSE_CSE_SPLITS = {
     "densepose_coco_2014_valminusminival_cse": (
         "coco/val2014",
         "coco/annotations/densepose_valminusminival2014_cse.json",
+    ),
+    # DensePose-Chimps (reference densepose/data/datasets/coco.py:81-90)
+    "densepose_chimps_cse_train": (
+        "densepose_chimps/images",
+        "densepose_chimps/densepose_chimps_cse_train.json",
+    ),
+    "densepose_chimps_cse_val": (
+        "densepose_chimps/images",
+        "densepose_chimps/densepose_chimps_cse_val.json",
     ),
 }
 

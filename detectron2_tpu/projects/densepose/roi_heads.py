@@ -51,15 +51,43 @@ class DensePoseROIHeads(StandardROIHeads):
     uv_confidence: str = "none"  # none | iid_iso | indep_aniso
     cse_embedder: Optional[nn.Module] = None
     cse_mesh_name: str = "smpl_27554"
+    # all embedder mesh names, in spec order; multi-mesh configs (the animal
+    # CSE family) route each instance's points to its own mesh's embed loss
+    cse_mesh_names: tuple = ("smpl_27554",)
+    # MeshCatalog global mesh id -> local index into cse_mesh_names (-1
+    # elsewhere), static; used to decode targets["gt_dp_mesh_id"]
+    cse_mesh_id_lookup: Optional[tuple] = None
     embdist_gauss_sigma: float = 0.01
     embed_loss_weight: float = 0.6
     # "EmbeddingLoss" (one-hot GT vertex) or "SoftEmbeddingLoss" (geodesic
     # soft targets; the reference's *_soft_* configs, losses/soft_embed.py)
     embed_loss_name: str = "EmbeddingLoss"
     geodist_gauss_sigma: float = 0.01
-    # [K, K] mesh geodesic distances, required by SoftEmbeddingLoss; loaded
-    # host-side (cse.load_mesh_data) and closed over as a constant
+    # [K, K] mesh geodesic distances (or mesh_name -> [K, K] dict for
+    # multi-mesh), required by SoftEmbeddingLoss; loaded host-side
+    # (cse.load_mesh_data / meshes.create_mesh) and closed over as constants
     mesh_geodists: Optional[jnp.ndarray] = None
+    # shape-to-shape cycle-consistency loss (reference losses/
+    # cycle_shape2shape.py; the m2m evolution configs)
+    shape2shape_on: bool = False
+    shape2shape_weight: float = 0.025
+    shape2shape_temperature: float = 0.05
+    shape2shape_norm_p: int = 2
+    # per-mesh (name, vertex_idx, geodists_sub) constants from
+    # cse.build_cycle_mesh_data; required when shape2shape_on
+    cycle_mesh_data: Optional[tuple] = None
+    # pixel-to-shape cycle-consistency loss (reference losses/
+    # cycle_pix2shape.py; the i2m evolution configs)
+    pix2shape_on: bool = False
+    pix2shape_weight: float = 0.0001
+    pix2shape_num_pixels: int = 100
+    pix2shape_temp_pix2v: float = 0.05
+    pix2shape_temp_v2pix: float = 0.05
+    pix2shape_norm_p: int = 2
+    pix2shape_all_meshes: bool = False
+    # train coarse_segm against rasterized GT masks instead of at annotated
+    # points (reference losses/mask_or_segm.py + mask.py)
+    segm_trained_by_masks: bool = False
     # parity/debug escape hatch: attach the raw predictor maps at inference
     raw_outputs: bool = False
 
@@ -69,14 +97,47 @@ class DensePoseROIHeads(StandardROIHeads):
         h = cfg.MODEL.ROI_DENSEPOSE_HEAD
         cse_embedder = None
         mesh_name = "smpl_27554"
+        mesh_names = (mesh_name,)
+        mesh_id_lookup = None
+        s2s = h.CSE.SHAPE_TO_SHAPE_CYCLE_LOSS
+        p2s = h.CSE.PIX_TO_SHAPE_CYCLE_LOSS
+        cycle_mesh_data = None
         if cfg.MODEL.DENSEPOSE_ON and "Embedding" in h.PREDICTOR_NAME:
-            from detectron2_tpu.projects.densepose.cse import Embedder
-
-            specs = tuple(
-                (name, int(n), int(h.CSE.EMBED_SIZE)) for name, n in h.CSE.EMBEDDERS
+            from detectron2_tpu.projects.densepose.cse import (
+                Embedder,
+                build_cycle_mesh_data,
+                embedder_specs_from_cfg,
             )
+            from detectron2_tpu.projects.densepose.meshes import MeshCatalog
+
+            specs = embedder_specs_from_cfg(cfg)
             cse_embedder = Embedder(mesh_specs=specs)
-            mesh_name = specs[0][0]
+            mesh_names = tuple(s[0] for s in specs)
+            mesh_name = mesh_names[0]
+            lookup = [-1] * (MeshCatalog.max_mesh_id + 2)
+            for li, nm in enumerate(mesh_names):
+                if nm in MeshCatalog.mesh_ids:
+                    lookup[MeshCatalog.get_mesh_id(nm)] = li
+            mesh_id_lookup = tuple(lookup)
+            if s2s.ENABLED:
+                # geodists must be staged locally (create_mesh resolves the
+                # catalog URLs under $DETECTRON2_DATASETS/densepose_meshes)
+                cycle_mesh_data = build_cycle_mesh_data(specs, int(s2s.MAX_NUM_VERTICES))
+        mesh_geodists = None
+        if cse_embedder is not None and h.CSE.EMBED_LOSS_NAME == "SoftEmbeddingLoss":
+            # best-effort: load per-mesh geodists from staged catalog files;
+            # meshes without staged files stay absent and the loss-time assert
+            # tells the user to inject them host-side
+            from detectron2_tpu.projects.densepose.meshes import create_mesh
+
+            loaded = {}
+            for nm in mesh_names:
+                try:
+                    loaded[nm] = create_mesh(nm).get_geodists()
+                except (KeyError, FileNotFoundError, OSError, AssertionError):
+                    pass
+            if len(loaded) == len(mesh_names):
+                mesh_geodists = loaded
         conf = h.UV_CONFIDENCE
         decoder = None
         if cfg.MODEL.DENSEPOSE_ON and h.DECODER_ON:
@@ -97,10 +158,26 @@ class DensePoseROIHeads(StandardROIHeads):
             uv_confidence=conf.TYPE if conf.ENABLED else "none",
             cse_embedder=cse_embedder,
             cse_mesh_name=mesh_name,
+            cse_mesh_names=mesh_names,
+            cse_mesh_id_lookup=mesh_id_lookup,
             embdist_gauss_sigma=h.CSE.EMBEDDING_DIST_GAUSS_SIGMA,
             embed_loss_weight=h.CSE.EMBED_LOSS_WEIGHT,
             embed_loss_name=h.CSE.EMBED_LOSS_NAME,
             geodist_gauss_sigma=h.CSE.GEODESIC_DIST_GAUSS_SIGMA,
+            mesh_geodists=mesh_geodists,
+            shape2shape_on=bool(s2s.ENABLED),
+            shape2shape_weight=s2s.WEIGHT,
+            shape2shape_temperature=s2s.TEMPERATURE,
+            shape2shape_norm_p=int(s2s.NORM_P),
+            cycle_mesh_data=cycle_mesh_data,
+            pix2shape_on=bool(p2s.ENABLED),
+            pix2shape_weight=p2s.WEIGHT,
+            pix2shape_num_pixels=int(p2s.NUM_PIXELS_TO_SAMPLE),
+            pix2shape_temp_pix2v=p2s.TEMPERATURE_PIXEL_TO_VERTEX,
+            pix2shape_temp_v2pix=p2s.TEMPERATURE_VERTEX_TO_PIXEL,
+            pix2shape_norm_p=int(p2s.NORM_P),
+            pix2shape_all_meshes=bool(p2s.USE_ALL_MESHES_NOT_GT_ONLY),
+            segm_trained_by_masks=bool(getattr(h, "COARSE_SEGM_TRAINED_BY_MASKS", False)),
             raw_outputs=bool(getattr(h, "RAW_OUTPUTS", False)),
         )
 
@@ -187,10 +264,16 @@ class DensePoseROIHeads(StandardROIHeads):
         ce = -jnp.take_along_axis(logp, part_cls[..., None], axis=-1)[..., 0]
         loss_index = (ce * w).sum() / jnp.maximum(w.sum(), 1.0)
 
-        # coarse segmentation: annotated points are foreground (channel 1)
-        coarse_at = point_sample(out["coarse_segm"], coords)
-        logp_c = jax.nn.log_softmax(coarse_at, axis=-1)
-        loss_coarse = (-logp_c[..., 1] * w).sum() / jnp.maximum(w.sum(), 1.0)
+        # coarse segmentation: annotated points are foreground (channel 1),
+        # or dense mask CE when COARSE_SEGM_TRAINED_BY_MASKS
+        if self.segm_trained_by_masks:
+            loss_coarse = self._coarse_segm_mask_loss(
+                out, targets, fg_gt_idx, boxes_flat, valid_flat, B, Rf
+            )
+        else:
+            coarse_at = point_sample(out["coarse_segm"], coords)
+            logp_c = jax.nn.log_softmax(coarse_at, axis=-1)
+            loss_coarse = (-logp_c[..., 1] * w).sum() / jnp.maximum(w.sum(), 1.0)
 
         # u/v regression on the GT part channel
         def at_part(channel_map):
@@ -228,11 +311,77 @@ class DensePoseROIHeads(StandardROIHeads):
             losses["loss_densepose_UV"] = loss_uv * self.point_regression_weight
         return losses
 
-    def _cse_losses(self, out, boxes_flat, fg_gt_idx, valid_flat, targets, B, Rf):
-        """CSE branch: coarse-segm CE at annotated points + softmax embedding
-        loss against the mesh vertex embeddings (reference losses/embed.py)."""
-        from detectron2_tpu.projects.densepose.cse import cse_embedding_loss
+    def _coarse_segm_mask_loss(self, out, targets, fg_gt_idx, boxes_flat, valid_flat, B, Rf):
+        """COARSE_SEGM_TRAINED_BY_MASKS: dense CE of coarse_segm against the
+        GT instance mask rasterized into each proposal at the segm resolution
+        (reference losses/mask.py:126-143 via extract_data_for_mask_loss).
+        Weighted mean over valid instances (all instances have equal pixel
+        counts here, so this equals the reference's flat pixel mean)."""
+        from detectron2_tpu.modeling.roi_heads.roi_heads import (
+            crop_gt_masks_to_proposals,
+        )
 
+        assert "gt_masks" in targets, (
+            "COARSE_SEGM_TRAINED_BY_MASKS needs rasterized gt masks in the "
+            "batch targets"
+        )
+        S = out["coarse_segm"].shape[1]
+        fg_boxes = boxes_flat.reshape(B, Rf, 4)
+        m = jax.vmap(
+            lambda gm, gb, gi, b: crop_gt_masks_to_proposals(gm, gb, gi, b, S)
+        )(targets["gt_masks"], targets["gt_boxes"], fg_gt_idx, fg_boxes)
+        tgt = (m > 0.5).reshape(B * Rf, S, S).astype(jnp.int32)
+        logp = jax.nn.log_softmax(out["coarse_segm"], axis=-1)  # [R, S, S, C]
+        nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+        per_inst = nll.mean(axis=(1, 2))  # [R]
+        w = valid_flat
+        return (per_inst * w).sum() / jnp.maximum(w.sum(), 1.0)
+
+    def _mesh_geodists_for(self, name):
+        gd = self.mesh_geodists
+        assert gd is not None, (
+            "SoftEmbeddingLoss needs mesh geodesic distances: set "
+            "roi_heads.mesh_geodists (cse.load_mesh_data(...)['geodists'], or "
+            "a {mesh_name: geodists} dict for multi-mesh configs)"
+        )
+        from collections.abc import Mapping
+
+        if isinstance(gd, Mapping):  # plain dict or flax FrozenDict
+            return jnp.asarray(gd[name])
+        return jnp.asarray(gd)
+
+    def _embed_loss_one_mesh(self, emb_flat, vert_flat, valid_flat_pts, name):
+        """Embedding loss of all annotated points against ONE mesh's vertex
+        embeddings; callers mask ``valid_flat_pts`` down to the points whose
+        GT mesh is ``name`` (reference losses/embed.py computes per-mesh
+        point subsets dynamically; here every mesh sees the full padded
+        point set with a mesh-routing mask — fixed shapes, one [P, K] MXU
+        matmul per mesh)."""
+        from detectron2_tpu.projects.densepose.cse import (
+            cse_embedding_loss,
+            cse_soft_embedding_loss,
+        )
+
+        mesh_emb = self.cse_embedder(name)  # [K, D]
+        if self.embed_loss_name == "SoftEmbeddingLoss":
+            return cse_soft_embedding_loss(
+                emb_flat,
+                vert_flat,
+                valid_flat_pts,
+                mesh_emb,
+                self._mesh_geodists_for(name),
+                self.embdist_gauss_sigma,
+                self.geodist_gauss_sigma,
+            )
+        return cse_embedding_loss(
+            emb_flat, vert_flat, valid_flat_pts, mesh_emb, self.embdist_gauss_sigma
+        )
+
+    def _cse_losses(self, out, boxes_flat, fg_gt_idx, valid_flat, targets, B, Rf):
+        """CSE branch: coarse-segm CE at annotated points + per-mesh softmax
+        embedding losses against the mesh vertex embeddings (reference
+        losses/cse.py DensePoseCseLoss + losses/embed.py), plus the optional
+        evolution cycle-consistency losses."""
         P = targets["gt_dp_points"].shape[2]
         pts = jnp.take_along_axis(
             targets["gt_dp_points"], fg_gt_idx[..., None, None], axis=1
@@ -246,41 +395,152 @@ class DensePoseROIHeads(StandardROIHeads):
         )
         w = weights * valid_flat[:, None]  # [R, P]
 
-        coarse_at = point_sample(out["coarse_segm"], coords)
-        logp_c = jax.nn.log_softmax(coarse_at, axis=-1)
-        loss_coarse = (-logp_c[..., 1] * w).sum() / jnp.maximum(w.sum(), 1.0)
-
-        emb_at = point_sample(out["embedding"], coords)  # [R, P, D]
-        mesh_emb = self.cse_embedder(self.cse_mesh_name)  # [K, D]
-        D = emb_at.shape[-1]
-        if self.embed_loss_name == "SoftEmbeddingLoss":
-            from detectron2_tpu.projects.densepose.cse import cse_soft_embedding_loss
-
-            assert self.mesh_geodists is not None, (
-                "SoftEmbeddingLoss needs mesh geodesic distances: set "
-                "roi_heads.mesh_geodists (cse.load_mesh_data(...)['geodists'])"
-            )
-            loss_embed = cse_soft_embedding_loss(
-                emb_at.reshape(-1, D),
-                vert.reshape(-1),
-                (w > 0).reshape(-1),
-                mesh_emb,
-                jnp.asarray(self.mesh_geodists),
-                self.embdist_gauss_sigma,
-                self.geodist_gauss_sigma,
+        if self.segm_trained_by_masks:
+            loss_coarse = self._coarse_segm_mask_loss(
+                out, targets, fg_gt_idx, boxes_flat, valid_flat, B, Rf
             )
         else:
-            loss_embed = cse_embedding_loss(
-                emb_at.reshape(-1, D),
-                vert.reshape(-1),
-                (w > 0).reshape(-1),
-                mesh_emb,
-                self.embdist_gauss_sigma,
+            coarse_at = point_sample(out["coarse_segm"], coords)
+            logp_c = jax.nn.log_softmax(coarse_at, axis=-1)
+            loss_coarse = (-logp_c[..., 1] * w).sum() / jnp.maximum(w.sum(), 1.0)
+
+        emb_at = point_sample(out["embedding"], coords)  # [R, P, D]
+        D = emb_at.shape[-1]
+        emb_flat = emb_at.reshape(-1, D)
+        vert_flat = vert.reshape(-1)
+        losses = {"loss_densepose_S": loss_coarse * self.index_weight}
+
+        # per-instance local mesh index (into cse_mesh_names); None when the
+        # batch carries no mesh ids (single-mesh pipelines)
+        local_ids = None
+        if len(self.cse_mesh_names) > 1 or self.pix2shape_on:
+            if "gt_dp_mesh_id" in targets and self.cse_mesh_id_lookup is not None:
+                gmid = jnp.take_along_axis(
+                    targets["gt_dp_mesh_id"], fg_gt_idx, axis=1
+                ).reshape(-1)  # [R] global MeshCatalog ids
+                lut = jnp.asarray(self.cse_mesh_id_lookup, jnp.int32)
+                local_ids = jnp.where(
+                    (gmid >= 0) & (gmid < lut.shape[0]),
+                    lut[jnp.clip(gmid, 0, lut.shape[0] - 1)],
+                    -1,
+                )
+
+        if len(self.cse_mesh_names) == 1:
+            name = self.cse_mesh_names[0]
+            loss_embed = self._embed_loss_one_mesh(
+                emb_flat, vert_flat, (w > 0).reshape(-1), name
             )
-        return {
-            "loss_densepose_S": loss_coarse * self.index_weight,
-            f"loss_densepose_E_{self.cse_mesh_name}": loss_embed * self.embed_loss_weight,
-        }
+            losses[f"loss_densepose_E_{name}"] = loss_embed * self.embed_loss_weight
+        else:
+            assert local_ids is not None, (
+                "multi-mesh CSE training needs targets['gt_dp_mesh_id'] "
+                "(DensePoseBatchCollator emits it from the annotations' "
+                "ref_model fields)"
+            )
+            for li, name in enumerate(self.cse_mesh_names):
+                wm = (w > 0) & (local_ids == li)[:, None]
+                loss_m = self._embed_loss_one_mesh(
+                    emb_flat, vert_flat, wm.reshape(-1), name
+                )
+                losses[f"loss_densepose_E_{name}"] = loss_m * self.embed_loss_weight
+
+        if self.shape2shape_on:
+            losses["loss_shape2shape"] = self.shape2shape_weight * self._shape2shape_loss()
+        if self.pix2shape_on:
+            losses["loss_pix2shape"] = self.pix2shape_weight * self._pix2shape_loss(
+                out, targets, fg_gt_idx, boxes_flat, valid_flat, local_ids, B, Rf
+            )
+        return losses
+
+    def _shape2shape_loss(self):
+        """Random mesh-pair cycle loss per step (reference
+        cycle_shape2shape.py:39-60 cycles through shuffled pairs host-side;
+        here the pair is drawn from the sampling rng and lax.switch runs only
+        the selected pair's branch — the subsampled embeddings/geodists are
+        compile-time constants per branch)."""
+        from detectron2_tpu.projects.densepose.cse import shape_to_shape_cycle_loss
+
+        assert self.cycle_mesh_data is not None, (
+            "SHAPE_TO_SHAPE_CYCLE_LOSS needs cycle_mesh_data "
+            "(cse.build_cycle_mesh_data with per-mesh geodists)"
+        )
+        names = [name for name, _, _ in self.cycle_mesh_data]
+        assert len(names) >= 2, "shape2shape cycle loss needs >= 2 meshes"
+        subs = {}
+        for name, idx, geo in self.cycle_mesh_data:
+            e = self.cse_embedder(name)
+            subs[name] = (e if idx is None else e[idx], geo)
+
+        pairs = [(i, j) for i in range(len(names)) for j in range(i + 1, len(names))]
+
+        def make_branch(i, j):
+            e1, g1 = subs[names[i]]
+            e2, g2 = subs[names[j]]
+
+            def branch(_):
+                return shape_to_shape_cycle_loss(
+                    e1, g1, e2, g2, self.shape2shape_temperature, self.shape2shape_norm_p
+                )
+
+            return branch
+
+        branches = [make_branch(i, j) for i, j in pairs]
+        if len(branches) == 1:
+            return branches[0](0)
+        k = jax.random.randint(self.make_rng("sampling"), (), 0, len(branches))
+        return jax.lax.switch(k, branches, 0)
+
+    def _pix2shape_loss(self, out, targets, fg_gt_idx, boxes_flat, valid_flat, local_ids, B, Rf):
+        """Pixel->vertex->pixel cycle loss over the sampled fg instances
+        (reference cycle_pix2shape.py:75-149: per instance x mesh, GT fg mask
+        rasterized at the embedding resolution). Weighted mean over the
+        (instance, mesh) pairs the reference's loops would visit: every
+        instance x every mesh when USE_ALL_MESHES_NOT_GT_ONLY, else each
+        instance against its own GT mesh."""
+        import functools
+
+        from detectron2_tpu.modeling.roi_heads.roi_heads import (
+            crop_gt_masks_to_proposals,
+        )
+        from detectron2_tpu.projects.densepose.cse import pix_to_shape_cycle_loss
+
+        assert "gt_masks" in targets, (
+            "PIX_TO_SHAPE_CYCLE_LOSS needs rasterized gt masks in the batch "
+            "targets (train with MODEL.MASK_ON or COARSE_SEGM_TRAINED_BY_MASKS "
+            "data so the collator emits gt_masks)"
+        )
+        S = out["embedding"].shape[1]
+        fg_boxes = boxes_flat.reshape(B, Rf, 4)
+        masks = jax.vmap(
+            lambda m, gb, gi, b: crop_gt_masks_to_proposals(m, gb, gi, b, S)
+        )(targets["gt_masks"], targets["gt_boxes"], fg_gt_idx, fg_boxes)
+        masks = (masks > 0.5).reshape(B * Rf, S, S)
+        emb = out["embedding"]  # [R, S, S, D]
+        rngs = jax.random.split(self.make_rng("sampling"), B * Rf)
+
+        total = 0.0
+        count = 0.0
+        for li, name in enumerate(self.cse_mesh_names):
+            mesh_emb = self.cse_embedder(name)
+            fn = functools.partial(
+                pix_to_shape_cycle_loss,
+                num_pixels=self.pix2shape_num_pixels,
+                temperature_pix_to_vertex=self.pix2shape_temp_pix2v,
+                temperature_vertex_to_pix=self.pix2shape_temp_v2pix,
+                norm_p=self.pix2shape_norm_p,
+            )
+            per_inst = jax.vmap(
+                lambda e, m, r, me=mesh_emb: fn(e, m, me, r)
+            )(emb, masks, rngs)  # [R]
+            # instances with no fg pixels contribute nothing (mirrors the
+            # reference skipping empty masks via its nonzero() indexing)
+            has_fg = masks.any(axis=(1, 2)).astype(jnp.float32)
+            wm = valid_flat * has_fg
+            if not self.pix2shape_all_meshes and local_ids is not None:
+                wm = wm * (local_ids == li).astype(jnp.float32)
+            total = total + (per_inst * wm).sum()
+            count = count + wm.sum()
+        return total / jnp.maximum(count, 1.0)
 
     def _forward_densepose_inference(self, feats, detections):
         B, D = detections["pred_classes"].shape

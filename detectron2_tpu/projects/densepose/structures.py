@@ -174,6 +174,8 @@ class DensePoseDataRelative:
             self.x = self.MASK_SIZE - self.x
             if hasattr(self, "i"):
                 self._flip_iuv_semantics(dp_transform_data)
+            if hasattr(self, "vertex_ids"):
+                self._flip_vertices()
 
         for t in transforms.transforms:
             if isinstance(t, RotationTransform):
@@ -198,6 +200,29 @@ class DensePoseDataRelative:
                 v_loc = (self.v[sel] * 255).astype(np.int64)
                 self.u[sel] = uv_sym["U_transforms"][i][v_loc, u_loc]
                 self.v[sel] = uv_sym["V_transforms"][i][v_loc, u_loc]
+
+    def _flip_vertices(self):
+        """CSE hflip: remap GT vertex ids through the mesh symmetry table
+        (reference data_relative.py:216-221). Best-effort in zero-egress
+        environments: if the mesh's symmetry file is not registered or not
+        staged locally, vertex ids are left unchanged with a warning (the
+        reference would crash; flips are usually disabled for CSE training
+        when symmetry tables are unavailable)."""
+        import logging
+
+        from detectron2_tpu.projects.densepose.meshes import MeshCatalog, create_mesh
+
+        name = getattr(self, "mesh_name", None) or "smpl_27554"
+        try:
+            sym = create_mesh(name).symmetry if name in MeshCatalog else None
+        except (FileNotFoundError, OSError):
+            sym = None
+        if sym is None or "vertex_transforms" not in sym:
+            logging.getLogger(__name__).warning(
+                "mesh %s symmetry table unavailable; hflip keeps vertex ids", name
+            )
+            return
+        self.vertex_ids = np.asarray(sym["vertex_transforms"])[self.vertex_ids]
 
     def _transform_segm(self, transforms, dp_transform_data):
         from detectron2_tpu.data.transforms import HFlipTransform, RotationTransform

@@ -20,8 +20,9 @@ ALL_YAMLS = sorted(
 
 
 def test_inventory():
-    # 26 chart/HRNet + 10 cse + 9 quick_schedules (8 + 1 cse) + 2 evolution
-    assert len(ALL_YAMLS) == 47, (len(ALL_YAMLS), ALL_YAMLS)
+    # 26 chart/HRNet + 19 cse (10 human + 8 animal + chimps)
+    # + 9 quick_schedules (8 + 1 cse) + 2 evolution
+    assert len(ALL_YAMLS) == 56, (len(ALL_YAMLS), ALL_YAMLS)
 
 
 @pytest.mark.parametrize("path", ALL_YAMLS, ids=lambda p: p.split("DensePose/")[-1])
