@@ -200,7 +200,15 @@ class DefaultPredictor:
         batch.pop("metadata")
 
         outputs = self._predict(self.params, batch)
-        out_np = {k: np.asarray(v)[0] for k, v in outputs.items()}
+        out_np = {
+            # nested dicts (e.g. DensePose RAW_OUTPUTS chart maps) slice per key
+            k: (
+                {kk: np.asarray(vv)[0] for kk, vv in v.items()}
+                if isinstance(v, dict)
+                else np.asarray(v)[0]
+            )
+            for k, v in outputs.items()
+        }
         in_h, in_w = int(batch["image_sizes"][0][0]), int(batch["image_sizes"][0][1])
         instances = detector_postprocess(out_np, height, width, in_h, in_w)
         return {"instances": instances}

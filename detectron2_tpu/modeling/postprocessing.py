@@ -124,6 +124,22 @@ def detector_postprocess(
             kpts = kpts[..., [0, 1, 3]]
         out.pred_keypoints = kpts
 
+    # DensePose project outputs ride along as per-detection list fields (the
+    # reference slices them generically through Instances indexing,
+    # postprocessing.py:23; our padded dicts name them explicitly). The maps
+    # are box-relative, so no rescaling is needed.
+    valid_idx = np.where(valid)[0]
+    if "pred_densepose" in results:  # chart IUV stacks [D, M, M, 3]
+        dp = np.asarray(results["pred_densepose"], np.float32)
+        out.pred_densepose = [dp[i] for i in valid_idx]
+    elif "pred_densepose_embedding" in results:  # CSE: embedding + fg mask
+        emb = np.asarray(results["pred_densepose_embedding"], np.float32)
+        fg = np.asarray(results["pred_densepose_fg"], bool)
+        out.pred_densepose = [{"embedding": emb[i], "fg": fg[i]} for i in valid_idx]
+    if "pred_densepose_raw" in results:  # raw chart maps (RAW_OUTPUTS)
+        raw = {k: np.asarray(v) for k, v in results["pred_densepose_raw"].items()}
+        out.pred_densepose_raw = [{k: v[i] for k, v in raw.items()} for i in valid_idx]
+
     return out
 
 

@@ -153,13 +153,33 @@ from detectron2_tpu.projects.densepose.dataset_mapper import (
     DensePoseDatasetMapper,
     register_densepose_coco,
 )
+from detectron2_tpu.projects.densepose.dbhelper import EntrySelector, verbosity_to_level
 from detectron2_tpu.projects.densepose.vis import (
+    BoundingBoxVisualizer,
+    CompoundExtractor,
+    CompoundVisualizer,
+    DensePoseDataCoarseSegmentationVisualizer,
+    DensePoseDataPointsIVisualizer,
+    DensePoseDataPointsUVisualizer,
+    DensePoseDataPointsVisualizer,
+    DensePoseDataPointsVVisualizer,
     DensePoseMaskedColormapResultsVisualizer,
+    DensePoseOutputsExtractor,
+    DensePoseOutputsTextureVisualizer,
+    DensePoseOutputsVertexVisualizer,
     DensePoseResultExtractor,
+    DensePoseResultsContourVisualizer,
     DensePoseResultsFineSegmentationVisualizer,
     DensePoseResultsUVisualizer,
+    DensePoseResultsVisualizerWithTexture,
     DensePoseResultsVVisualizer,
     MatrixVisualizer,
+    NmsFilteredExtractor,
+    ScoredBoundingBoxVisualizer,
+    ScoreThresholdedExtractor,
+    create_extractor,
+    get_texture_atlas,
+    get_texture_atlases,
 )
 
 __all__ = [
@@ -262,5 +282,26 @@ __all__ = [
     "DensePoseResultsFineSegmentationVisualizer",
     "DensePoseResultsUVisualizer",
     "DensePoseResultsVVisualizer",
+    "DensePoseResultsContourVisualizer",
+    "DensePoseResultsVisualizerWithTexture",
+    "DensePoseOutputsVertexVisualizer",
+    "DensePoseOutputsTextureVisualizer",
+    "DensePoseDataCoarseSegmentationVisualizer",
+    "DensePoseDataPointsVisualizer",
+    "DensePoseDataPointsIVisualizer",
+    "DensePoseDataPointsUVisualizer",
+    "DensePoseDataPointsVVisualizer",
+    "BoundingBoxVisualizer",
+    "ScoredBoundingBoxVisualizer",
+    "CompoundVisualizer",
     "DensePoseResultExtractor",
+    "DensePoseOutputsExtractor",
+    "CompoundExtractor",
+    "NmsFilteredExtractor",
+    "ScoreThresholdedExtractor",
+    "create_extractor",
+    "get_texture_atlas",
+    "get_texture_atlases",
+    "EntrySelector",
+    "verbosity_to_level",
 ]

@@ -177,7 +177,7 @@ def add_densepose_config(cfg):
     # reference config.py:114 CN(new_allowed=True)). The legacy list-of-pairs
     # layout [["smpl_27554", 27554]] is also accepted when assigned
     # programmatically — see cse.embedder_specs_from_cfg. Empty (the default)
-    # means one trainable vertex_direct smpl_27554 embedder.
+    # means no embedder, like the reference's build_densepose_embedder None.
     cfg.MODEL.ROI_DENSEPOSE_HEAD.CSE.EMBEDDERS = CN(new_allowed=True)
 
     # shape-to-shape cycle-consistency loss (the m2m "evolution" configs;

@@ -126,8 +126,11 @@ def embedder_specs_from_cfg(cfg) -> Tuple[EmbedderSpec, ...]:
     h = cfg.MODEL.ROI_DENSEPOSE_HEAD
     embed_dim = int(h.CSE.EMBED_SIZE)
     raw = h.CSE.EMBEDDERS
-    if not raw:  # empty default: the DensePose-COCO SMPL mesh, trainable table
-        return (("smpl_27554", "vertex_direct", 27554, 0, embed_dim, False, True),)
+    if not raw:
+        # empty -> no embedders, matching build_densepose_embedder's None
+        # (reference densepose/modeling/build.py:87-89); the abstract cse
+        # base config builds a model without embedder parameters
+        return ()
     specs = []
     if isinstance(raw, (list, tuple)):
         for name, n in raw:

@@ -111,8 +111,10 @@ class DensePoseROIHeads(StandardROIHeads):
             from detectron2_tpu.projects.densepose.meshes import MeshCatalog
 
             specs = embedder_specs_from_cfg(cfg)
-            cse_embedder = Embedder(mesh_specs=specs)
-            mesh_names = tuple(s[0] for s in specs)
+            # empty EMBEDDERS -> embedder stays None, like the reference's
+            # build_densepose_embedder (densepose/modeling/build.py:87-89)
+            cse_embedder = Embedder(mesh_specs=specs) if specs else None
+            mesh_names = tuple(s[0] for s in specs) or (mesh_name,)
             mesh_name = mesh_names[0]
             lookup = [-1] * (MeshCatalog.max_mesh_id + 2)
             for li, nm in enumerate(mesh_names):
@@ -233,7 +235,12 @@ class DensePoseROIHeads(StandardROIHeads):
         pooled = self._densepose_pool(feats, boxes_flat, batch_idx, train=True)
         out = self.densepose_predictor(self.densepose_head(pooled, train=True), train=True)
 
-        if self.cse_embedder is not None:
+        if "embedding" in out:  # CSE predictor
+            assert self.cse_embedder is not None, (
+                "CSE training needs MODEL.ROI_DENSEPOSE_HEAD.CSE.EMBEDDERS; the "
+                "abstract cse base config builds without an embedder (inference/"
+                "conversion only), matching the reference's None embedder"
+            )
             return self._cse_losses(out, boxes_flat, fg_gt_idx, valid_flat, targets, B, Rf)
         K = out["fine_segm"].shape[-1]
 
@@ -549,7 +556,15 @@ class DensePoseROIHeads(StandardROIHeads):
         pooled = self._densepose_pool(feats, boxes_flat, batch_idx, train=False)
         out = self.densepose_predictor(self.densepose_head(pooled, train=False), train=False)
 
-        if self.cse_embedder is not None:
+        if "embedding" in out:  # CSE predictor (embedder may be None, see from_config)
+            if self.cse_embedder is not None and self.is_initializing():
+                # materialize the embedder tables: flax only creates params
+                # for modules that are CALLED, and inference never computes
+                # the mesh embeddings on device (lookup is host-side) — but
+                # eval-only models must still round-trip the reference's
+                # roi_heads.embedder.* checkpoint slots (embedder.py:95-115)
+                for nm in self.cse_mesh_names:
+                    self.cse_embedder(nm)
             # CSE result format: per-pixel embedding + fg mask; closest-vertex
             # lookup happens host-side / in the evaluator (the [HW, K] argmin
             # over 27k vertices is not worth a per-step device pass)

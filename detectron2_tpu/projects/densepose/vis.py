@@ -1,13 +1,20 @@
-"""DensePose result visualization
-(reference projects/DensePose/densepose/vis/{base,densepose_results,
-extractor}.py), cv2 host-side.
+"""DensePose visualization
+(reference projects/DensePose/densepose/vis/{base,bounding_box,
+densepose_results,densepose_results_textures,densepose_data_points,
+densepose_outputs_vertex,extractor}.py), cv2/numpy host-side.
 
 The chart results are drawn as colormapped overlays inside each detection
-box: fine-segmentation labels, U, or V. ``DensePoseResultExtractor`` bridges
-the framework's padded per-detection outputs (or host Instances carrying
-``pred_densepose``) to the visualizers.
+box: fine-segmentation labels, U, or V, isocontours, or texture transfer;
+CSE results as closest-vertex colormaps or mesh-texture transfer.
+``DensePoseResultExtractor`` / ``DensePoseOutputsExtractor`` bridge the
+framework's padded per-detection outputs (or host Instances carrying
+``pred_densepose``) to the visualizers; ``create_extractor`` pairs each
+visualizer with its extractor, and ``CompoundVisualizer`` /
+``CompoundExtractor`` stack several per image (the apply_net CLI surface).
 """
 
+import json
+import logging
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -18,15 +25,42 @@ from detectron2_tpu.projects.densepose.converters import (
 from detectron2_tpu.projects.densepose.structures import DensePoseChartResult
 from detectron2_tpu.structures import Boxes, BoxMode, Instances
 
+logger = logging.getLogger(__name__)
+
 __all__ = [
     "MatrixVisualizer",
+    "RectangleVisualizer",
+    "PointsVisualizer",
+    "TextVisualizer",
+    "CompoundVisualizer",
+    "BoundingBoxVisualizer",
+    "ScoredBoundingBoxVisualizer",
     "DensePoseResultsVisualizer",
     "DensePoseMaskedColormapResultsVisualizer",
     "DensePoseResultsFineSegmentationVisualizer",
     "DensePoseResultsUVisualizer",
     "DensePoseResultsVVisualizer",
+    "DensePoseResultsContourVisualizer",
+    "DensePoseResultsVisualizerWithTexture",
+    "DensePoseOutputsVertexVisualizer",
+    "DensePoseOutputsTextureVisualizer",
+    "DensePoseDataCoarseSegmentationVisualizer",
+    "DensePoseDataPointsVisualizer",
+    "DensePoseDataPointsIVisualizer",
+    "DensePoseDataPointsUVisualizer",
+    "DensePoseDataPointsVVisualizer",
     "DensePoseResultExtractor",
+    "DensePoseOutputsExtractor",
+    "BoundingBoxExtractor",
+    "ScoredBoundingBoxExtractor",
+    "CompoundExtractor",
+    "NmsFilteredExtractor",
+    "ScoreThresholdedExtractor",
+    "create_extractor",
     "extract_boxes_xywh_from_instances",
+    "extract_scores_from_instances",
+    "get_texture_atlas",
+    "get_texture_atlases",
 ]
 
 
@@ -217,3 +251,877 @@ class DensePoseResultExtractor:
         )
 
         return DensePoseChartResultWithConfidences(labels=labels, uv=uv)
+
+
+# --------------------------------------------------------------------------
+# drawing primitives (reference vis/base.py:78-193)
+# --------------------------------------------------------------------------
+
+
+class RectangleVisualizer:
+    """(reference vis/base.py:80-93)."""
+
+    _COLOR_GREEN = (18, 127, 15)
+
+    def __init__(self, color=_COLOR_GREEN, thickness=1):
+        self.color = color
+        self.thickness = thickness
+
+    def visualize(self, image_bgr, bbox_xywh, color=None, thickness=None):
+        import cv2
+
+        if bbox_xywh is None:
+            return image_bgr
+        x, y, w, h = bbox_xywh
+        cv2.rectangle(
+            image_bgr,
+            (int(x), int(y)),
+            (int(x + w), int(y + h)),
+            color or self.color,
+            thickness or self.thickness,
+        )
+        return image_bgr
+
+
+class PointsVisualizer:
+    """(reference vis/base.py:96-110)."""
+
+    _COLOR_GREEN = (18, 127, 15)
+
+    def __init__(self, color_bgr=_COLOR_GREEN, r=5):
+        self.color_bgr = color_bgr
+        self.r = r
+
+    def visualize(self, image_bgr, pts_xy, colors_bgr=None, rs=None):
+        import cv2
+
+        for j, (x, y) in enumerate(pts_xy):
+            color = colors_bgr[j] if colors_bgr is not None else self.color_bgr
+            r = rs[j] if rs is not None else self.r
+            cv2.circle(image_bgr, (int(x), int(y)), r, color, -1)
+        return image_bgr
+
+
+class TextVisualizer:
+    """Text with optional filled/framed background box
+    (reference vis/base.py:113-172)."""
+
+    _COLOR_GRAY = (218, 227, 218)
+    _COLOR_WHITE = (255, 255, 255)
+
+    def __init__(
+        self,
+        font_face=None,
+        font_color_bgr=_COLOR_GRAY,
+        font_scale=0.35,
+        font_line_type=None,
+        font_line_thickness=1,
+        fill_color_bgr=_COLOR_WHITE,
+        fill_color_transparency=1.0,
+        frame_color_bgr=_COLOR_WHITE,
+        frame_color_transparency=1.0,
+        frame_thickness=1,
+    ):
+        import cv2
+
+        self.font_face = cv2.FONT_HERSHEY_SIMPLEX if font_face is None else font_face
+        self.font_color_bgr = font_color_bgr
+        self.font_scale = font_scale
+        self.font_line_type = cv2.LINE_AA if font_line_type is None else font_line_type
+        self.font_line_thickness = font_line_thickness
+        self.fill_color_bgr = fill_color_bgr
+        self.fill_color_transparency = fill_color_transparency
+        self.frame_color_bgr = frame_color_bgr
+        self.frame_color_transparency = frame_color_transparency
+        self.frame_thickness = frame_thickness
+
+    def get_text_size_wh(self, txt):
+        import cv2
+
+        (txt_w, txt_h), _ = cv2.getTextSize(
+            txt, self.font_face, self.font_scale, self.font_line_thickness
+        )
+        return txt_w, txt_h
+
+    def visualize(self, image_bgr, txt, topleft_xy):
+        import cv2
+
+        txt_w, txt_h = self.get_text_size_wh(txt)
+        x, y = (int(v) for v in topleft_xy)
+        if self.frame_color_transparency < 1.0:
+            t = self.frame_thickness
+            region = image_bgr[y - t : y + txt_h + t, x - t : x + txt_w + t, :]
+            image_bgr[y - t : y + txt_h + t, x - t : x + txt_w + t, :] = (
+                region * self.frame_color_transparency
+                + np.array(self.frame_color_bgr) * (1.0 - self.frame_color_transparency)
+            ).astype(float)
+        if self.fill_color_transparency < 1.0:
+            region = image_bgr[y : y + txt_h, x : x + txt_w, :]
+            image_bgr[y : y + txt_h, x : x + txt_w, :] = (
+                region * self.fill_color_transparency
+                + np.array(self.fill_color_bgr) * (1.0 - self.fill_color_transparency)
+            ).astype(float)
+        cv2.putText(
+            image_bgr,
+            txt,
+            (x, y),
+            self.font_face,
+            self.font_scale,
+            self.font_color_bgr,
+            self.font_line_thickness,
+            self.font_line_type,
+        )
+        return image_bgr
+
+
+class CompoundVisualizer:
+    """Applies several visualizers to one image, each with its own data
+    entry (reference vis/base.py:175-193)."""
+
+    def __init__(self, visualizers):
+        self.visualizers = visualizers
+
+    def visualize(self, image_bgr, data):
+        assert len(data) == len(self.visualizers), (
+            f"The number of datas {len(data)} should match the number of "
+            f"visualizers {len(self.visualizers)}"
+        )
+        image = image_bgr
+        for i, visualizer in enumerate(self.visualizers):
+            image = visualizer.visualize(image, data[i])
+        return image
+
+    def __str__(self):
+        return "Compound Visualizer [{}]".format(
+            ", ".join(str(v) for v in self.visualizers)
+        )
+
+
+# --------------------------------------------------------------------------
+# bounding boxes (reference vis/bounding_box.py)
+# --------------------------------------------------------------------------
+
+
+class BoundingBoxVisualizer:
+    """(reference vis/bounding_box.py:7-16)."""
+
+    def __init__(self):
+        self.rectangle_visualizer = RectangleVisualizer()
+
+    def visualize(self, image_bgr, boxes_xywh):
+        if boxes_xywh is None:
+            return image_bgr
+        for bbox_xywh in boxes_xywh:
+            image_bgr = self.rectangle_visualizer.visualize(image_bgr, bbox_xywh)
+        return image_bgr
+
+
+class ScoredBoundingBoxVisualizer:
+    """Boxes + score text (reference vis/bounding_box.py:19-39)."""
+
+    def __init__(self, cfg=None, **kwargs):
+        self.visualizer_bbox = RectangleVisualizer()
+        self.visualizer_score = TextVisualizer()
+
+    def visualize(self, image_bgr, scored_bboxes):
+        if scored_bboxes is None:
+            return image_bgr
+        boxes_xywh, box_scores = scored_bboxes
+        if boxes_xywh is None:
+            return image_bgr
+        assert len(boxes_xywh) == len(box_scores), (
+            f"Number of bounding boxes {len(boxes_xywh)} should be equal to "
+            f"the number of scores {len(box_scores)}"
+        )
+        for i, bbox_xywh in enumerate(boxes_xywh):
+            image_bgr = self.visualizer_bbox.visualize(image_bgr, bbox_xywh)
+            score_txt = "{0:6.4f}".format(box_scores[i])
+            topleft_xy = bbox_xywh[0], bbox_xywh[1]
+            image_bgr = self.visualizer_score.visualize(image_bgr, score_txt, topleft_xy)
+        return image_bgr
+
+
+# --------------------------------------------------------------------------
+# isocontours (reference vis/densepose_results.py:140-305)
+# --------------------------------------------------------------------------
+
+
+# marching-squares endpoint recipes: bin code -> list of segments, each
+# endpoint (edge, which) with edge in {left, top, bottom, right} giving the
+# cell edge the isoline crosses; interpolation parameters computed per edge.
+# Cell corners (reference densepose_results.py:243-305): v0=(i,j) v1=(i+1,j)
+# v2=(i+1,j+1) v3=(i,j+1); x ~ j (width), y ~ i (height).
+_MS_EDGES = {
+    # edge name -> (corner pair for interpolation, axis, base offsets)
+    # "L": x = x0, y = y0 + a*He with a from (v0, v1)
+    # "T": y = y0, x = x0 + a*We with a from (v0, v3)
+    # "B": y = y0 + He, x = x0 + a*We with a from (v1, v2)
+    # "R": x = x0 + We, y = y0 + a*He with a from (v3, v2)
+}
+
+_MS_SEGMENTS = {
+    1: [("L", "T")], 14: [("L", "T")],
+    2: [("L", "B")], 13: [("L", "B")],
+    3: [("T", "B")], 12: [("T", "B")],
+    4: [("B", "R")], 11: [("B", "R")],
+    6: [("L", "R")], 9: [("L", "R")],
+    7: [("T", "R")], 8: [("T", "R")],
+    5: [("L", "B"), ("T", "R")],
+    10: [("T", "L"), ("B", "R")],
+}
+
+
+def _iso_segments(arr: np.ndarray, mask: np.ndarray, level: float) -> np.ndarray:
+    """Marching-squares segments of the ``level`` isocontour of ``arr``
+    restricted to ``mask``, in normalized [0, 1] grid coordinates.
+
+    Vectorized over all cells at once — the reference walks every cell with
+    ``np.nditer`` and per-cell branching (densepose_results.py:186-305);
+    here cells are bucketed by bin code and each bucket's endpoints are
+    interpolated with array ops. Returns float array [S, 2, 2] of
+    ((x0, y0), (x1, y1)) pairs.
+    """
+    H, W = arr.shape
+    if H < 2 or W < 2:
+        return np.zeros((0, 2, 2), np.float32)
+    vp = arr >= level
+    code = (
+        vp[:-1, :-1].astype(np.int8)
+        + vp[1:, :-1] * 2
+        + vp[1:, 1:] * 4
+        + vp[:-1, 1:] * 8
+    )
+    in_mask = mask[:-1, :-1] | mask[1:, :-1] | mask[1:, 1:] | mask[:-1, 1:]
+    v0, v1 = arr[:-1, :-1], arr[1:, :-1]
+    v2, v3 = arr[1:, 1:], arr[:-1, 1:]
+    Nw, Nh = W - 1, H - 1
+    segments = []
+
+    def _edge_point(edge, ii, jj):
+        x0 = jj / Nw
+        y0 = ii / Nh
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if edge == "L":
+                a = (level - v0[ii, jj]) / (v1[ii, jj] - v0[ii, jj])
+                return x0, y0 + a / Nh
+            if edge == "T":
+                a = (level - v0[ii, jj]) / (v3[ii, jj] - v0[ii, jj])
+                return x0 + a / Nw, y0
+            if edge == "B":
+                a = (level - v1[ii, jj]) / (v2[ii, jj] - v1[ii, jj])
+                return x0 + a / Nw, y0 + 1.0 / Nh
+            a = (level - v3[ii, jj]) / (v2[ii, jj] - v3[ii, jj])  # "R"
+            return x0 + 1.0 / Nw, y0 + a / Nh
+
+    for c, segs in _MS_SEGMENTS.items():
+        ii, jj = np.nonzero((code == c) & in_mask)
+        if not len(ii):
+            continue
+        for e0, e1 in segs:
+            x0s, y0s = _edge_point(e0, ii, jj)
+            x1s, y1s = _edge_point(e1, ii, jj)
+            seg = np.stack(
+                [np.stack([x0s, y0s], -1), np.stack([x1s, y1s], -1)], axis=1
+            )
+            keep = np.isfinite(seg).all(axis=(1, 2))
+            segments.append(seg[keep])
+    if not segments:
+        return np.zeros((0, 2, 2), np.float32)
+    return np.concatenate(segments, 0).astype(np.float32)
+
+
+class DensePoseResultsContourVisualizer(DensePoseResultsVisualizer):
+    """U/V isocontour visualization via vectorized marching squares
+    (reference DensePoseResultsCustomContourVisualizer,
+    densepose_results.py:140-305)."""
+
+    def __init__(self, levels=10, **kwargs):
+        import cv2
+
+        if isinstance(levels, int):
+            self.levels = np.linspace(0, 1, levels)
+        else:
+            self.levels = np.asarray(levels, np.float64)
+        self.linewidths = kwargs.get("linewidths", [1] * len(self.levels))
+        img_colors_bgr = cv2.applyColorMap(
+            (self.levels * 255).astype(np.uint8), cv2.COLORMAP_PARULA
+        )
+        self.level_colors_bgr = [
+            [int(v) for v in c.ravel()] for c in img_colors_bgr
+        ]
+
+    def visualize_iuv_arr(self, context, iuv_arr, bbox_xywh):
+        from detectron2_tpu.projects.densepose.structures import DensePoseDataRelative
+
+        image_bgr = context
+        segm = _extract_i_from_iuvarr(iuv_arr)
+        u = _extract_u_from_iuvarr(iuv_arr).astype(float) / 255.0
+        v = _extract_v_from_iuvarr(iuv_arr).astype(float) / 255.0
+        n_parts = DensePoseDataRelative.N_PART_LABELS
+        for arr in (u, v):
+            for part_idx in range(1, n_parts + 1):
+                mask = segm == part_idx
+                if not np.any(mask):
+                    continue
+                vals = arr[mask]
+                vmin, vmax = vals.min(), vals.max()
+                for level_idx, level in enumerate(self.levels):
+                    if level < vmin or level > vmax:
+                        continue
+                    segs = _iso_segments(arr, mask, float(level))
+                    self._draw(image_bgr, segs, bbox_xywh, level_idx)
+
+    def _draw(self, image_bgr, segs, bbox_xywh, level_idx):
+        import cv2
+
+        if not len(segs):
+            return
+        x0, y0, w, h = bbox_xywh
+        pts = np.empty_like(segs)
+        pts[..., 0] = x0 + segs[..., 0] * w
+        pts[..., 1] = y0 + segs[..., 1] * h
+        pts = pts.astype(np.int32)
+        cv2.polylines(
+            image_bgr,
+            list(pts),
+            isClosed=False,
+            color=self.level_colors_bgr[level_idx],
+            thickness=int(self.linewidths[level_idx]),
+        )
+
+
+# --------------------------------------------------------------------------
+# texture transfer (reference vis/densepose_results_textures.py)
+# --------------------------------------------------------------------------
+
+
+def get_texture_atlas(path: Optional[str]) -> Optional[np.ndarray]:
+    """Read a texture atlas image, converting BGR(A) -> RGB(A)
+    (reference densepose_results_textures.py:15-27)."""
+    if path is None:
+        return None
+    import cv2
+
+    bgr_image = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    if bgr_image is None:
+        raise FileNotFoundError(path)
+    rgb_image = np.copy(bgr_image)
+    rgb_image[:, :, :3] = rgb_image[:, :, 2::-1]  # works with alpha channel
+    return rgb_image
+
+
+class DensePoseResultsVisualizerWithTexture(DensePoseResultsVisualizer):
+    """IUV -> texture-atlas transfer (reference
+    densepose_results_textures.py:30-93). The atlas is 6N x 4N with one
+    N x N square per body part; U maps to x and (1 - V) to y within the
+    square. The per-pixel lookup is fully vectorized over all 24 parts at
+    once (flat [part, y, x] indexing) where the reference loops the parts.
+    """
+
+    def __init__(self, texture_atlas, **kwargs):
+        assert texture_atlas is not None, "texture_atlas is required (--texture_atlas)"
+        self.texture_atlas = texture_atlas
+        self.body_part_size = texture_atlas.shape[0] // 6
+        assert self.body_part_size == texture_atlas.shape[1] // 4
+
+    def visualize(self, image_bgr, results_and_boxes_xywh):
+        densepose_result, boxes_xywh = results_and_boxes_xywh
+        if densepose_result is None or boxes_xywh is None:
+            return image_bgr
+        boxes_xywh = np.asarray(boxes_xywh).astype(int)
+        texture_image, alpha = self.get_texture()
+        for i, result in enumerate(densepose_result):
+            iuv_array = np.concatenate(
+                [result.labels[None].astype(np.float32), np.clip(result.uv, 0, 1)]
+            )
+            x, y, w, h = boxes_xywh[i]
+            bbox_image = image_bgr[y : y + h, x : x + w]
+            image_bgr[y : y + h, x : x + w] = self.generate_image_with_texture(
+                texture_image, alpha, bbox_image, iuv_array
+            )
+        return image_bgr
+
+    def get_texture(self):
+        # atlas [6N, 4N, C] -> [24, N, N, C]: square (i, j) (column-major in
+        # the reference's 6*i+j ordering) -> part 6*i+j
+        N = self.body_part_size
+        C = self.texture_atlas.shape[-1]
+        tiles = self.texture_atlas.reshape(6, N, 4, N, C)
+        texture_image = tiles.transpose(2, 0, 1, 3, 4).reshape(24, N, N, C).astype(float)
+        if C == 4:
+            alpha = texture_image[..., -1] / 255.0
+            texture_image = texture_image[..., :3]
+        else:
+            alpha = texture_image.sum(axis=-1) > 0
+        return texture_image, alpha
+
+    def generate_image_with_texture(self, texture_image, alpha, bbox_image_bgr, iuv_array):
+        I, U, V = iuv_array
+        out = bbox_image_bgr.copy().astype(float)
+        fg = I > 0
+        if not np.any(fg):
+            return bbox_image_bgr
+        part = (I[fg] - 1).astype(int)
+        N = self.body_part_size
+        x_index = (U[fg] * (N - 1)).astype(int)
+        y_index = ((1 - V[fg]) * (N - 1)).astype(int)
+        a = np.expand_dims(alpha[part, y_index, x_index], -1)
+        out[fg] = out[fg] * (1 - a) + texture_image[part, y_index, x_index] * a
+        return out.astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# ground-truth data points (reference vis/densepose_data_points.py)
+# --------------------------------------------------------------------------
+
+
+class DensePoseDataCoarseSegmentationVisualizer:
+    """GT coarse segmentation overlay (reference
+    densepose_data_points.py:13-38). Data: (boxes_xywh list,
+    DensePoseDataRelative list)."""
+
+    def __init__(self, inplace=True, cmap=None, alpha=0.7, **kwargs):
+        from detectron2_tpu.projects.densepose.structures import DensePoseDataRelative
+
+        self.mask_visualizer = MatrixVisualizer(
+            inplace=inplace,
+            cmap=cmap,
+            val_scale=255.0 / DensePoseDataRelative.N_BODY_PARTS,
+            alpha=alpha,
+        )
+
+    def visualize(self, image_bgr, bbox_densepose_datas):
+        if bbox_densepose_datas is None:
+            return image_bgr
+        for bbox_xywh, densepose_data in zip(*bbox_densepose_datas):
+            matrix = np.asarray(densepose_data.segm)
+            mask = (matrix > 0).astype(np.uint8)
+            image_bgr = self.mask_visualizer.visualize(
+                image_bgr, mask, matrix, np.asarray(bbox_xywh)
+            )
+        return image_bgr
+
+
+class DensePoseDataPointsVisualizer:
+    """GT annotated points, optionally colormapped by a per-point value
+    (reference densepose_data_points.py:41-69)."""
+
+    def __init__(self, densepose_data_to_value_fn=None, cmap=None, **kwargs):
+        import cv2
+
+        self.points_visualizer = PointsVisualizer()
+        self.densepose_data_to_value_fn = densepose_data_to_value_fn
+        self.cmap = cv2.COLORMAP_PARULA if cmap is None else cmap
+
+    def visualize(self, image_bgr, bbox_densepose_datas):
+        import cv2
+
+        if bbox_densepose_datas is None:
+            return image_bgr
+        for bbox_xywh, densepose_data in zip(*bbox_densepose_datas):
+            x0, y0, w, h = np.asarray(bbox_xywh)
+            x = np.asarray(densepose_data.x) * w / 255.0 + x0
+            y = np.asarray(densepose_data.y) * h / 255.0 + y0
+            pts_xy = zip(x, y)
+            if self.densepose_data_to_value_fn is None:
+                image_bgr = self.points_visualizer.visualize(image_bgr, pts_xy)
+            else:
+                v = self.densepose_data_to_value_fn(densepose_data)
+                img_colors_bgr = cv2.applyColorMap(v, self.cmap)
+                colors_bgr = [[int(c) for c in cb.ravel()] for cb in img_colors_bgr]
+                image_bgr = self.points_visualizer.visualize(image_bgr, pts_xy, colors_bgr)
+        return image_bgr
+
+
+def _densepose_data_u_for_cmap(densepose_data):
+    return (np.clip(np.asarray(densepose_data.u), 0, 1) * 255.0).astype(np.uint8)
+
+
+def _densepose_data_v_for_cmap(densepose_data):
+    return (np.clip(np.asarray(densepose_data.v), 0, 1) * 255.0).astype(np.uint8)
+
+
+def _densepose_data_i_for_cmap(densepose_data):
+    from detectron2_tpu.projects.densepose.structures import DensePoseDataRelative
+
+    n = DensePoseDataRelative.N_PART_LABELS
+    return (np.clip(np.asarray(densepose_data.i), 0.0, n) * 255.0 / n).astype(np.uint8)
+
+
+class DensePoseDataPointsUVisualizer(DensePoseDataPointsVisualizer):
+    def __init__(self, **kwargs):
+        super().__init__(densepose_data_to_value_fn=_densepose_data_u_for_cmap, **kwargs)
+
+
+class DensePoseDataPointsVVisualizer(DensePoseDataPointsVisualizer):
+    def __init__(self, **kwargs):
+        super().__init__(densepose_data_to_value_fn=_densepose_data_v_for_cmap, **kwargs)
+
+
+class DensePoseDataPointsIVisualizer(DensePoseDataPointsVisualizer):
+    def __init__(self, **kwargs):
+        super().__init__(densepose_data_to_value_fn=_densepose_data_i_for_cmap, **kwargs)
+
+
+# --------------------------------------------------------------------------
+# CSE outputs: closest-vertex and mesh-texture transfer
+# (reference vis/densepose_outputs_vertex.py)
+# --------------------------------------------------------------------------
+
+
+def get_xyz_vertex_embedding(mesh_name: str, mesh_base_dir: Optional[str] = None) -> np.ndarray:
+    """Per-vertex scalar in [0, 1] used to colormap closest-vertex maps
+    (reference densepose_outputs_vertex.py:23-39). For smpl_27554 the
+    reference uses an MDS embedding file (mds_d=256.npy from the DensePose
+    data release; stage it next to the mesh data in zero-egress
+    environments); other meshes use normalized squared vertex-coordinate
+    sums."""
+    import os
+
+    from detectron2_tpu.projects.densepose.meshes import create_mesh
+
+    if mesh_name == "smpl_27554":
+        for base in filter(None, [mesh_base_dir, os.environ.get("DETECTRON2_DATASETS")]):
+            fpath = os.path.join(base, "mds_d=256.npy")
+            if os.path.exists(fpath):
+                embed_map = np.load(fpath, allow_pickle=True)[0].astype(np.float32)[:, 0]
+                embed_map -= embed_map.min()
+                embed_map /= max(embed_map.max(), 1e-6)
+                return embed_map
+        logger.warning(
+            "mds_d=256.npy not staged for smpl_27554; falling back to the "
+            "vertex-coordinate embedding"
+        )
+    mesh = create_mesh(mesh_name, mesh_base_dir)
+    embed_map = np.asarray(mesh.vertices, np.float32).sum(axis=1)
+    embed_map -= embed_map.min()
+    embed_map /= max(embed_map.max(), 1e-6)
+    return embed_map**2
+
+
+def closest_vertices_and_mask(
+    embedding: np.ndarray,  # [M, M, D] pixel embeddings (box-relative)
+    fg: np.ndarray,  # [M, M] bool foreground
+    mesh_vertex_embeddings: np.ndarray,  # [K, D]
+    h: int,
+    w: int,
+):
+    """Resize a detection's CSE pixel embeddings to its box size and find
+    each pixel's nearest mesh vertex (reference cse/utils.py
+    get_closest_vertices_mask_from_ES). The argmin over K vertices runs
+    through the jitted chunked kernel (cse.closest_vertices_from_embedding)
+    on whatever backend is active. Returns (vertex_ids [h, w] int32,
+    mask [h, w] bool)."""
+    import cv2
+
+    import jax.numpy as jnp
+
+    from detectron2_tpu.projects.densepose.cse import closest_vertices_from_embedding
+
+    emb = cv2.resize(np.asarray(embedding, np.float32), (w, h), interpolation=cv2.INTER_LINEAR)
+    mask = (
+        cv2.resize(fg.astype(np.uint8), (w, h), interpolation=cv2.INTER_NEAREST).astype(bool)
+    )
+    verts = np.asarray(
+        closest_vertices_from_embedding(
+            jnp.asarray(emb), jnp.asarray(mesh_vertex_embeddings, jnp.float32)
+        )
+    )
+    return verts, mask
+
+
+class DensePoseOutputsVertexVisualizer:
+    """Closest-vertex colormap for CSE outputs (reference
+    densepose_outputs_vertex.py:42-131).
+
+    Data: (list of per-detection dicts {"embedding" [M, M, D], "fg"
+    [M, M]}, boxes_xywh, pred_classes). ``mesh_vertex_embeddings`` maps
+    mesh_name -> [K, D] array — pass the loaded embedder tables directly
+    (e.g. from the predictor's checkpoint) instead of the reference's
+    rebuild-the-embedder-from-cfg path."""
+
+    def __init__(
+        self,
+        class_to_mesh_name: Dict[int, str],
+        mesh_vertex_embeddings: Dict[str, np.ndarray],
+        inplace=True,
+        cmap=None,
+        alpha=0.7,
+        default_class=0,
+        mesh_base_dir: Optional[str] = None,
+        **kwargs,
+    ):
+        import cv2
+
+        self.mask_visualizer = MatrixVisualizer(
+            inplace=inplace,
+            cmap=cv2.COLORMAP_JET if cmap is None else cmap,
+            val_scale=1.0,
+            alpha=alpha,
+        )
+        self.class_to_mesh_name = class_to_mesh_name
+        self.mesh_vertex_embeddings = mesh_vertex_embeddings
+        self.default_class = default_class
+        self.mesh_base_dir = mesh_base_dir
+        self._embed_map_cache: Dict[str, np.ndarray] = {}
+
+    def _embed_map(self, mesh_name):
+        if mesh_name not in self._embed_map_cache:
+            self._embed_map_cache[mesh_name] = get_xyz_vertex_embedding(
+                mesh_name, self.mesh_base_dir
+            )
+        return self._embed_map_cache[mesh_name]
+
+    def visualize(self, image_bgr, outputs_boxes_xywh_classes):
+        if outputs_boxes_xywh_classes[0] is None:
+            return image_bgr
+        dpout, bboxes_xywh, pred_classes = self.extract_and_check_outputs_and_boxes(
+            outputs_boxes_xywh_classes
+        )
+        for n, dp in enumerate(dpout):
+            x, y, w, h = (int(v) for v in bboxes_xywh[n])
+            if w <= 0 or h <= 0:
+                continue
+            mesh_name = self.class_to_mesh_name[pred_classes[n]]
+            closest_vertices, mask = closest_vertices_and_mask(
+                dp["embedding"], dp["fg"], self.mesh_vertex_embeddings[mesh_name], h, w
+            )
+            embed_map = self._embed_map(mesh_name)
+            vis = np.clip(embed_map[closest_vertices], 0, 1) * 255.0
+            image_bgr = self.mask_visualizer.visualize(
+                image_bgr, mask.astype(np.uint8), vis, [x, y, w, h]
+            )
+        return image_bgr
+
+    def extract_and_check_outputs_and_boxes(self, outputs_boxes_xywh_classes):
+        dpout, bboxes_xywh, pred_classes = outputs_boxes_xywh_classes
+        if pred_classes is None:
+            pred_classes = [self.default_class] * len(bboxes_xywh)
+        assert len(dpout) == len(bboxes_xywh), (
+            f"number of bounding boxes {len(bboxes_xywh)} should be equal to "
+            f"the number of outputs {len(dpout)}"
+        )
+        assert len(dpout) == len(pred_classes), (
+            f"number of predicted classes {len(pred_classes)} should be equal "
+            f"to the number of outputs {len(dpout)}"
+        )
+        return dpout, np.asarray(bboxes_xywh), list(pred_classes)
+
+
+def get_texture_atlases(json_str: Optional[str]) -> Optional[Dict[str, Optional[np.ndarray]]]:
+    """mesh_name -> texture atlas, from a JSON path map
+    (reference densepose_outputs_vertex.py:134-142)."""
+    if json_str is None:
+        return None
+    paths = json.loads(json_str)
+    return {mesh_name: get_texture_atlas(path) for mesh_name, path in paths.items()}
+
+
+class DensePoseOutputsTextureVisualizer(DensePoseOutputsVertexVisualizer):
+    """CSE texture transfer through mesh texcoords (reference
+    densepose_outputs_vertex.py:145-231)."""
+
+    def __init__(
+        self,
+        class_to_mesh_name: Dict[int, str],
+        mesh_vertex_embeddings: Dict[str, np.ndarray],
+        texture_atlases_dict: Dict[str, np.ndarray],
+        default_class=0,
+        mesh_base_dir: Optional[str] = None,
+        **kwargs,
+    ):
+        super().__init__(
+            class_to_mesh_name,
+            mesh_vertex_embeddings,
+            default_class=default_class,
+            mesh_base_dir=mesh_base_dir,
+            **kwargs,
+        )
+        self.texture_image_dict = {}
+        self.alpha_dict = {}
+        for mesh_name, atlas in (texture_atlases_dict or {}).items():
+            if atlas.shape[-1] == 4:  # image with alpha channel
+                self.alpha_dict[mesh_name] = atlas[:, :, -1].astype(float) / 255.0
+                self.texture_image_dict[mesh_name] = atlas[:, :, :3]
+            else:
+                self.alpha_dict[mesh_name] = atlas.sum(axis=-1) > 0
+                self.texture_image_dict[mesh_name] = atlas
+
+    def visualize(self, image_bgr, outputs_boxes_xywh_classes):
+        from detectron2_tpu.projects.densepose.meshes import create_mesh
+
+        image_target_bgr = image_bgr.copy()
+        if outputs_boxes_xywh_classes[0] is None:
+            return image_target_bgr
+        dpout, bboxes_xywh, pred_classes = self.extract_and_check_outputs_and_boxes(
+            outputs_boxes_xywh_classes
+        )
+        meshes = {
+            p: create_mesh(self.class_to_mesh_name[p], self.mesh_base_dir)
+            for p in np.unique(pred_classes)
+        }
+        for n, dp in enumerate(dpout):
+            x, y, w, h = (int(v) for v in bboxes_xywh[n])
+            if w <= 0 or h <= 0:
+                continue
+            mesh_name = self.class_to_mesh_name[pred_classes[n]]
+            closest_vertices, mask = closest_vertices_and_mask(
+                dp["embedding"], dp["fg"], self.mesh_vertex_embeddings[mesh_name], h, w
+            )
+            uv_array = np.asarray(meshes[pred_classes[n]].texcoords)[closest_vertices]
+            uv_array = np.clip(uv_array.transpose(2, 0, 1), 0, 1)
+            textured = self.generate_image_with_texture(
+                image_target_bgr[y : y + h, x : x + w], uv_array, mask, mesh_name
+            )
+            if textured is None:
+                continue
+            image_target_bgr[y : y + h, x : x + w] = textured
+        return image_target_bgr
+
+    def generate_image_with_texture(self, bbox_image_bgr, uv_array, mask, mesh_name):
+        alpha = self.alpha_dict.get(mesh_name)
+        texture_image = self.texture_image_dict.get(mesh_name)
+        if alpha is None or texture_image is None:
+            return None
+        U, V = uv_array
+        x_index = (U * texture_image.shape[1]).astype(int).clip(0, texture_image.shape[1] - 1)
+        y_index = (V * texture_image.shape[0]).astype(int).clip(0, texture_image.shape[0] - 1)
+        local_texture = texture_image[y_index, x_index][mask]
+        local_alpha = np.expand_dims(alpha[y_index, x_index][mask], -1)
+        output_image = bbox_image_bgr.copy()
+        output_image[mask] = output_image[mask] * (1 - local_alpha) + local_texture * local_alpha
+        return output_image.astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# extractors (reference vis/extractor.py)
+# --------------------------------------------------------------------------
+
+
+def extract_scores_from_instances(instances: Instances, select=None):
+    """(reference vis/extractor.py:26-29)."""
+    if instances.has("scores"):
+        scores = np.asarray(instances.scores)
+        return scores if select is None else scores[select]
+    return None
+
+
+class BoundingBoxExtractor:
+    """(reference vis/extractor.py:62-69)."""
+
+    def __call__(self, instances: Instances, select=None):
+        boxes_xywh = extract_boxes_xywh_from_instances(instances)
+        if boxes_xywh is not None and select is not None:
+            boxes_xywh = boxes_xywh[select]
+        return boxes_xywh
+
+
+class ScoredBoundingBoxExtractor:
+    """(reference vis/extractor.py:72-84)."""
+
+    def __call__(self, instances: Instances, select=None):
+        scores = extract_scores_from_instances(instances)
+        boxes_xywh = extract_boxes_xywh_from_instances(instances)
+        if scores is None or boxes_xywh is None:
+            return (boxes_xywh, scores)
+        if select is not None:
+            scores = scores[select]
+            boxes_xywh = boxes_xywh[select]
+        return (boxes_xywh, scores)
+
+
+class DensePoseOutputsExtractor:
+    """Instances (with per-detection CSE dicts in ``pred_densepose``) ->
+    (outputs, boxes_xywh, classes) (reference vis/extractor.py:108-141)."""
+
+    def __call__(self, instances: Instances, select=None):
+        if not (instances.has("pred_densepose") and instances.has("pred_boxes")):
+            return None, None, None
+        dpout = instances.pred_densepose
+        boxes_xywh = extract_boxes_xywh_from_instances(instances)
+        classes = (
+            np.asarray(instances.pred_classes).tolist()
+            if instances.has("pred_classes")
+            else None
+        )
+        if select is not None:
+            idx = np.nonzero(np.asarray(select))[0]
+            dpout = [dpout[i] for i in idx]
+            boxes_xywh = boxes_xywh[idx]
+            if classes is not None:
+                classes = [classes[i] for i in idx]
+        return dpout, boxes_xywh, classes
+
+
+class CompoundExtractor:
+    """(reference vis/extractor.py:143-156)."""
+
+    def __init__(self, extractors):
+        self.extractors = extractors
+
+    def __call__(self, instances: Instances, select=None):
+        return [extractor(instances, select) for extractor in self.extractors]
+
+
+class NmsFilteredExtractor:
+    """Runs class-agnostic NMS before delegating
+    (reference vis/extractor.py:159-182)."""
+
+    def __init__(self, extractor, iou_threshold):
+        self.extractor = extractor
+        self.iou_threshold = iou_threshold
+
+    def __call__(self, instances: Instances, select=None):
+        import jax.numpy as jnp
+
+        from detectron2_tpu.ops.nms import batched_nms
+
+        scores = extract_scores_from_instances(instances)
+        boxes_xywh = extract_boxes_xywh_from_instances(instances)
+        if boxes_xywh is None or not len(boxes_xywh):
+            return self.extractor(instances, select=select)
+        keep = np.asarray(
+            batched_nms(
+                jnp.asarray(boxes_xywh, jnp.float32),
+                jnp.asarray(scores, jnp.float32),
+                jnp.zeros(len(scores), jnp.int32),
+                self.iou_threshold,
+            )
+        )
+        select_local = np.zeros(len(boxes_xywh), bool)
+        select_local[keep[keep >= 0]] = True
+        select = select_local if select is None else (np.asarray(select) & select_local)
+        return self.extractor(instances, select=select)
+
+
+class ScoreThresholdedExtractor:
+    """(reference vis/extractor.py:185-201)."""
+
+    def __init__(self, extractor, min_score):
+        self.extractor = extractor
+        self.min_score = min_score
+
+    def __call__(self, instances: Instances, select=None):
+        scores = extract_scores_from_instances(instances)
+        if scores is None:
+            return None
+        select_local = scores > self.min_score
+        select = select_local if select is None else (np.asarray(select) & select_local)
+        return self.extractor(instances, select=select)
+
+
+def create_extractor(visualizer):
+    """Pair a visualizer with the extractor producing its data
+    (reference vis/extractor.py:41-59)."""
+    if isinstance(visualizer, CompoundVisualizer):
+        return CompoundExtractor([create_extractor(v) for v in visualizer.visualizers])
+    if isinstance(visualizer, (DensePoseResultsVisualizer,)):
+        return DensePoseResultExtractor()
+    if isinstance(visualizer, ScoredBoundingBoxVisualizer):
+        return ScoredBoundingBoxExtractor()
+    if isinstance(visualizer, BoundingBoxVisualizer):
+        return BoundingBoxExtractor()
+    if isinstance(visualizer, DensePoseOutputsVertexVisualizer):
+        return DensePoseOutputsExtractor()
+    logger.error(f"Could not create extractor for {visualizer}")
+    return None

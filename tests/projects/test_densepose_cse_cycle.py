@@ -70,8 +70,9 @@ def test_embedder_specs_legacy_and_default():
     specs = embedder_specs_from_cfg(cfg)
     assert specs == (("m", "vertex_direct", 16, 0, 8, False, True),)
     cfg2 = _cse_cfg()
-    specs2 = embedder_specs_from_cfg(cfg2)  # empty default -> smpl
-    assert specs2[0][0] == "smpl_27554" and specs2[0][2] == 27554
+    # empty default -> no embedders, like the reference's
+    # build_densepose_embedder returning None (densepose/modeling/build.py:87)
+    assert embedder_specs_from_cfg(cfg2) == ()
 
 
 def test_vertex_feature_embedder_and_trainability():
