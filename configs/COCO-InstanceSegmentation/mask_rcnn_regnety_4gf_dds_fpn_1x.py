@@ -14,6 +14,16 @@ from ..common.train import train  # noqa
 
 def build_regnet_rcnn():
     cfg = get_cfg()
+    # base heads are built against a throwaway R50-FPN (p2-p6 shapes match
+    # the RegNet FPN's 256-channel outputs); the real backbone is swapped in
+    # below via .clone. Head geometry mirrors the reference's lazy
+    # common/models/mask_rcnn_fpn.py (box pooler 7, 4-conv mask head)
+    cfg.MODEL.BACKBONE.NAME = "build_resnet_fpn_backbone"
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.FPN.IN_FEATURES = ["res2", "res3", "res4", "res5"]
+    cfg.MODEL.ANCHOR_GENERATOR.SIZES = [[32], [64], [128], [256], [512]]
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 7
+    cfg.MODEL.ROI_MASK_HEAD.NUM_CONV = 4
     cfg.MODEL.MASK_ON = True
     cfg.MODEL.PIXEL_STD = [57.375, 57.120, 58.395]
     cfg.MODEL.RPN.IN_FEATURES = ["p2", "p3", "p4", "p5", "p6"]

@@ -33,6 +33,11 @@ def build_lsj_model(depth=50, norm="SyncBN"):
     # 4conv1fc box head
     cfg.MODEL.ROI_BOX_HEAD.NUM_CONV = 4
     cfg.MODEL.ROI_BOX_HEAD.NUM_FC = 1
+    # Base-RCNN-FPN values the reference's lazy mask_rcnn_fpn model inherits
+    # (reference common/models/mask_rcnn_fpn.py:59,76: box pooler 7, 4-conv
+    # mask head); yacs defaults are 14 / 0
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 7
+    cfg.MODEL.ROI_MASK_HEAD.NUM_CONV = 4
     cfg.MODEL.ROI_BOX_HEAD.NORM = norm
     cfg.MODEL.ROI_MASK_HEAD.NORM = norm
     cfg.MODEL.MASK_ON = True

@@ -68,6 +68,13 @@ def flax_path_to_d2_name(path: Tuple[str, ...]) -> str:
             segs.extend(["conv2", "norm"])
             prev = seg
             continue
+        if seg == "cse_embedder":
+            # DensePose CSE: our roi_heads attr is cse_embedder, d2's is
+            # embedder (reference densepose/modeling/roi_heads/roi_head.py:130);
+            # inner embedder_{mesh} / embeddings / features names already match
+            segs.append("embedder")
+            prev = seg
+            continue
         if seg == "head" and prev == "proposal_generator":
             # our RPN field is "head"; d2 names it "rpn_head" (RetinaNet's
             # dense head, by contrast, IS "head" in d2)
@@ -162,12 +169,18 @@ def flax_path_to_d2_name(path: Tuple[str, ...]) -> str:
             prev = seg
             continue
         m = re.fullmatch(r"(p\d+)_conv(\d+)", seg)
-        if m and prev in ("sem_seg_head", "decoder"):
+        if m and prev in ("sem_seg_head", "decoder", "coarse_sem_seg_head"):
             # SemSegFPNHead scale heads (and the DensePose Decoder, same
             # structure): d2 builds Sequential(conv, up, conv, up, ...) per
             # feature — conv k sits at index 2*k
             segs.extend([m.group(1), str(2 * int(m.group(2)))])
             prev = seg
+            continue
+        if seg == "coarse_head" and prev == "sem_seg_head":
+            # PointRend semantic: our coarse_head attr is the reference's
+            # coarse_sem_seg_head (point_rend/semantic_seg.py:30)
+            segs.append("coarse_sem_seg_head")
+            prev = "coarse_sem_seg_head"
             continue
         # DeepLabV3+ decoder stages (reference deeplab/semantic_seg.py:96-170):
         # {feat}_project -> decoder.{feat}.project_conv ; {feat}_fuse{k} ->
@@ -181,6 +194,13 @@ def flax_path_to_d2_name(path: Tuple[str, ...]) -> str:
         m = re.fullmatch(r"(\w+?)_fuse(\d+)", seg)
         if m and prev in ("sem_seg_head", "ins_embed_head"):
             segs.extend(["decoder", m.group(1), "fuse_conv", m.group(2)])
+            prev = seg
+            continue
+        m = re.fullmatch(r"(\w+?)_fuse", seg)
+        if m and prev in ("sem_seg_head", "ins_embed_head"):
+            # dsconv variant: fuse is a single DepthwiseSeparableConv2d, not
+            # a Sequential — no index (reference deeplab/semantic_seg.py:150)
+            segs.extend(["decoder", m.group(1), "fuse_conv"])
             prev = seg
             continue
         # HRNet / HRFPN (reference densepose/modeling/hrnet.py, hrfpn.py):
@@ -278,6 +298,10 @@ def _alt_d2_names(name: str):
         yield name.replace(".mask_head.", ".mask_head.coarse_head.")
     if ".point_head." in name and ".mask_head." not in name:
         yield name.replace(".point_head.", ".mask_head.point_head.")
+    # Implicit PointRend: the parameter head nests inside the mask head
+    # (reference point_rend/mask_head.py ImplicitPointRendMaskHead)
+    if ".parameter_head." in name and ".mask_head." not in name:
+        yield name.replace(".parameter_head.", ".mask_head.parameter_head.")
     # multi-conv RPN head: the reference wraps >1 convs in an nn.Sequential
     # named "conv" (rpn.py StandardRPNHead), so convN lives at conv.convN
     m = re.search(r"rpn_head\.conv(\d+)\.", name)
@@ -359,6 +383,31 @@ def convert_d2_state_dict(state_dict: Dict[str, Any], params) -> Tuple[Any, str]
     state_dict = {k: np.asarray(v) for k, v in state_dict.items()}
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
 
+    # dense-head tower layout probe: (conv, relu)*N puts convs at even
+    # indices and index 1 holds no params; (conv, norm, relu)*N (FCOS /
+    # SyncBN-head RetinaNet) has a norm at index 1 — remap our conv i from
+    # the primary 2i to 3i (and norms to 3i+1) up front so biases can't be
+    # claimed by the shape-compatible norm at 2i
+    import re as _re
+
+    _normed_towers = any(
+        _re.search(r"(cls_subnet|bbox_subnet)\.1\.weight$", k) for k in state_dict
+    )
+
+    def _remap_subnet(name: str) -> str:
+        if not _normed_towers:
+            return name
+        m = _re.search(r"(cls_subnet|bbox_subnet)\.(\d+)(\.norm)?\.(\w+)$", name)
+        if not m or int(m.group(2)) % 2:
+            return name
+        i = int(m.group(2)) // 2
+        new_idx = 3 * i + (1 if m.group(3) else 0)
+        return _re.sub(
+            r"(cls_subnet|bbox_subnet)\.\d+(\.norm)?\.(\w+)$",
+            rf"\g<1>.{new_idx}.\g<3>",
+            name,
+        )
+
     used = set()
     missing: List[str] = []
     mismatched: List[str] = []
@@ -368,24 +417,34 @@ def convert_d2_state_dict(state_dict: Dict[str, Any], params) -> Tuple[Any, str]
         # drop flax collection roots ('params' / 'batch_stats') wherever they
         # appear — the target may be a bare variables dict or nested inside a
         # holder object whose attr paths come first
-        name_keys = tuple(k for k in keys if k not in ("params", "batch_stats", "frozen"))
-        d2_name = flax_path_to_d2_name(name_keys)
-        if d2_name not in state_dict:
-            for alt in _alt_d2_names(d2_name):
-                if alt in state_dict:
-                    d2_name = alt
-                    break
+        name_keys = tuple(
+            k for k in keys if k not in ("params", "batch_stats", "frozen", "buffers")
+        )
+        d2_name = _remap_subnet(flax_path_to_d2_name(name_keys))
         is_deconv = any(k.startswith("ConvTranspose") for k in keys)
-        if d2_name in state_dict:
+        # try the primary name first, then alternates — including when the
+        # primary EXISTS but with an incompatible shape (e.g. FCOS's GN'd
+        # subnets: our conv i maps primarily to Sequential index 2i, which in
+        # a (conv, norm, relu) tower is a real key holding the norm weight;
+        # the 3i alternate is the right one)
+        present = [n for n in (d2_name, *_alt_d2_names(d2_name)) if n in state_dict]
+        loaded = False
+        first_err = None
+        for cand in present:
             try:
-                arr = _to_flax_layout(state_dict[d2_name], leaf.shape, conv_transpose=is_deconv)
-                new_leaves.append(arr.astype(np.asarray(leaf).dtype))
-                used.add(d2_name)
+                arr = _to_flax_layout(state_dict[cand], leaf.shape, conv_transpose=is_deconv)
             except ValueError as e:
-                mismatched.append(f"{d2_name}: {e}")
-                new_leaves.append(leaf)
-        else:
-            missing.append(d2_name)
+                first_err = first_err or f"{cand}: {e}"
+                continue
+            new_leaves.append(arr.astype(np.asarray(leaf).dtype))
+            used.add(cand)
+            loaded = True
+            break
+        if not loaded:
+            if present:
+                mismatched.append(first_err)
+            else:
+                missing.append(d2_name)
             new_leaves.append(leaf)
 
     unused = sorted(set(state_dict.keys()) - used)
@@ -399,6 +458,14 @@ def convert_d2_state_dict(state_dict: Dict[str, Any], params) -> Tuple[Any, str]
         and "anchors" not in u
         and "cell_anchors" not in u
         and not u.endswith("num_batches_tracked")
+        # fed-loss class weights are a derived buffer (reference
+        # fast_rcnn.py:250 registers get_fed_loss_cls_weights' output); we
+        # recompute them from the vendored LVIS count table at config time
+        and not u.endswith("fed_loss_cls_weights")
+        # swin's relative_position_index is a precomputed constant lookup
+        # (reference swin.py:129-139 registers it as a buffer); ours is
+        # rebuilt from window_size at trace time
+        and not u.endswith("relative_position_index")
     ]
 
     report_lines = [f"Loaded {len(used)}/{len(flat)} parameter tensors from d2 checkpoint."]

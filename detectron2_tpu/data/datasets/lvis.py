@@ -83,5 +83,16 @@ def get_lvis_instances_meta_from_json(lvis_json: dict) -> dict:
 
 
 def get_lvis_instances_meta(dataset_name: str) -> dict:
-    """Kept for API parity; metadata is derived from the json at load time."""
+    """Static metadata per LVIS version (reference lvis.py:95-118).
+
+    ``class_image_count`` for v1 comes from the vendored release table so
+    federated-loss weights (detection_utils.get_fed_loss_cls_weights) can be
+    computed at model-construction time without the json on disk;
+    ``thing_classes`` stays json-derived at load time."""
+    if "v1" in dataset_name:
+        from detectron2_tpu.data.datasets.lvis_v1_category_image_count import (
+            LVIS_V1_CATEGORY_IMAGE_COUNT,
+        )
+
+        return {"class_image_count": LVIS_V1_CATEGORY_IMAGE_COUNT}
     return {}

@@ -23,6 +23,9 @@ class ASPP(nn.Module):
     activation: Optional[Callable] = nn.relu
     pool_kernel_size: Optional[tuple] = None
     dropout: float = 0.0
+    # Panoptic-DeepLab variant: the 3x3 atrous branches become
+    # depthwise-separable convs (reference aspp.py:75-88)
+    use_depthwise_separable_conv: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -39,6 +42,24 @@ class ASPP(nn.Module):
             )(x, train=train)
         )
         for i, d in enumerate(self.dilations):
+            if self.use_depthwise_separable_conv:
+                from detectron2_tpu.layers.blocks import DepthwiseSeparableConv2d
+
+                branches.append(
+                    DepthwiseSeparableConv2d(
+                        in_channels=self.in_channels,
+                        out_channels=self.out_channels,
+                        kernel_size=3,
+                        padding=d,
+                        dilation=d,
+                        norm1=self.norm,
+                        activation1=self.activation,
+                        norm2=self.norm,
+                        activation2=self.activation,
+                        name=f"atrous{i}",
+                    )(x, train=train)
+                )
+                continue
             branches.append(
                 Conv2d(
                     features=self.out_channels,

@@ -89,9 +89,12 @@ class SwinBlock(nn.Module):
         """x: [B, H, W, C]"""
         drop_path = DropPath(self.drop_path, name="drop_path")
         B, H, W, C = x.shape
-        ws = min(self.window_size, H, W)
-        shift = self.shift_size if ws < min(H, W) or self.shift_size < ws else 0
-        shift = min(shift, ws - 1) if ws > 1 else 0
+        # the reference never shrinks the window for small inputs — feature
+        # maps are padded up to window multiples (swin.py:261-266), which
+        # also keeps the bias-table parameter shape independent of the
+        # runtime grid ((2*ws-1)^2 rows in every checkpoint)
+        ws = self.window_size
+        shift = self.shift_size
 
         shortcut = x
         x = LayerNorm(self.dim, eps=1e-5, name="norm1")(x)

@@ -187,7 +187,11 @@ class Block(nn.Module):
             x, pad_hw = window_partition(x, self.window_size)
             attn_size = (self.window_size, self.window_size)
         else:
-            attn_size = (x.shape[1], x.shape[2])
+            # rel-pos table size is pinned by the CONFIG's input_size (the
+            # reference sizes global blocks' tables by img_size//patch_size,
+            # vit.py:138-141) so checkpoint shapes don't depend on the init
+            # batch; get_rel_pos interpolates when the runtime grid differs
+            attn_size = self.input_size or (x.shape[1], x.shape[2])
 
         x = Attention(
             dim=self.dim,

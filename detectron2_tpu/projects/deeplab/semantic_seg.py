@@ -184,6 +184,9 @@ class DeepLabV3PlusHead(nn.Module):
             dilations=tuple(self.aspp_dilations),
             norm=self.norm,
             dropout=self.aspp_dropout,
+            # dsconv variant swaps the atrous branches too (reference
+            # deeplab/semantic_seg.py:141 passes it into the decoder ASPP)
+            use_depthwise_separable_conv=self.use_depthwise_separable_conv,
             name="aspp",
         )(x, train=train)
 

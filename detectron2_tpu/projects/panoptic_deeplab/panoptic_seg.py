@@ -101,6 +101,7 @@ class PanopticDeepLabSemSegHead(DeepLabV3PlusHead):
             dilations=tuple(self.aspp_dilations),
             norm=self.norm,
             dropout=self.aspp_dropout,
+            use_depthwise_separable_conv=self.use_depthwise_separable_conv,
             name="aspp",
         )(x, train=train)
         for f, ch in zip(reversed(self.in_features[:-1]), reversed(self.project_channels)):

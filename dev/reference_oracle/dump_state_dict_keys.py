@@ -114,6 +114,22 @@ def ensure_project(proj, pkg, addfn, cfg):
         getattr(mod, addfn)(cfg)
 
 
+def _neuter_cse_loads():
+    """Zero-egress shims for CSE model *construction*: embedder INIT_FILE /
+    MODEL.WEIGHTS loads only fill values (vertex_feature_embedder.py:63-77,
+    embedder.py:95-115); the state_dict keys+shapes we dump are static."""
+    dp = "/root/reference/projects/DensePose"
+    if dp not in sys.path:
+        sys.path.insert(0, dp)
+    from densepose.modeling import cse as _cse
+
+    _cse.vertex_direct_embedder.VertexDirectEmbedder.load = lambda self, fpath: None
+    _cse.vertex_feature_embedder.VertexFeatureEmbedder.load = lambda self, fpath: None
+    _cse.embedder.Embedder.load_from_model_checkpoint = (
+        lambda self, fpath, prefix=None: None
+    )
+
+
 def build_yaml(ref_path, project):
     from detectron2.config import get_cfg
     from detectron2.modeling import build_model
@@ -166,11 +182,10 @@ def main():
             continue
         ref_path, project = found
         if "/cse/" in rel:
-            # CSE embedder parameter shapes depend on external mesh pickles
-            # (dl.fbaipublicfiles.com/densepose/data/cse/lbo/*.pkl) that a
-            # zero-egress environment cannot fetch — unknowable offline
-            skipped.append(rel + " (CSE: embedder shapes need external mesh data)")
-            continue
+            # CSE embedder parameter SHAPES are fully static from the config
+            # (NUM_VERTICES/FEATURE_DIM/EMBED_SIZE); only the INIT_FILE /
+            # WEIGHTS *values* live in unfetchable pickles — no-op the loads
+            _neuter_cse_loads()
         try:
             model = (build_lazy if rel.endswith(".py") else build_yaml)(ref_path, project)
             sd = {k: list(v.shape) for k, v in model.state_dict().items()}

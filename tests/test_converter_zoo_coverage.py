@@ -106,9 +106,17 @@ def _build_our_model(rel):
 
 def _param_zeros(model):
     """Our variables pytree as zero arrays, via eval_shape (no compile)."""
+    # 256x256: eval_shape never materializes compute, and HRFPN's stride-16
+    # reduction level needs >= ~256px inputs to keep every pyramid level
+    # non-empty (the reference's AvgPool2d(16) has the same constraint)
     batch = {
-        "image": np.zeros((1, 64, 64, 3), np.float32),
-        "image_sizes": np.asarray([[64, 64]], np.int32),
+        "image": np.zeros((1, 256, 256, 3), np.float32),
+        "image_sizes": np.asarray([[256, 256]], np.int32),
+        # precomputed-proposal fields for RPN-less Fast R-CNN configs
+        # (rcnn.py:105-107); models with a proposal generator ignore them
+        "proposal_boxes": np.zeros((1, 8, 4), np.float32),
+        "proposal_logits": np.zeros((1, 8), np.float32),
+        "proposal_valid": np.zeros((1, 8), bool),
     }
     rngs = {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)}
     shapes = jax.eval_shape(lambda r, b: model.init(r, b, train=False), rngs, batch)
