@@ -184,7 +184,9 @@ def test_training_acc_synthetic_keypoints(tmp_path):
     # corner keypoints have no left/right twins; empty flip map, but flips
     # are disabled below anyway (a horizontal flip maps tl->tr which an
     # empty flip map cannot express)
-    MetadataCatalog.get(name).set(keypoint_names=["tl", "tr", "br", "bl"], keypoint_flip_map=[])
+    # tuples: load_coco_json later sets keypoint_names from the json as a
+    # tuple and Metadata's consistency assert compares with == (list != tuple)
+    MetadataCatalog.get(name).set(keypoint_names=("tl", "tr", "br", "bl"), keypoint_flip_map=())
 
     class Trainer(DefaultTrainer):
         @classmethod

@@ -71,7 +71,7 @@ def make_batch(B, H, W, train, num_classes, with_masks, with_keypoints, with_sem
                 np.stack([kx, ky, kv], axis=-1).astype(np.float32)
             )
         if with_sem_seg:
-            batch["sem_seg"] = jnp.asarray(rng.randint(0, 54, (B, H, W)).astype(np.int32))
+            batch["gt_sem_seg"] = jnp.asarray(rng.randint(0, 54, (B, H, W)).astype(np.int32))
     return batch
 
 
