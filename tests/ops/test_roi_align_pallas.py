@@ -155,3 +155,52 @@ def test_channel_chunk_fits_scoped_vmem():
     assert _channel_chunk(512, jnp.bfloat16, 14, 14, 64, 48) < 512
     # the standard FPN case must stay unchunked
     assert _channel_chunk(256, jnp.bfloat16, 7, 7, 64, 48) == 256
+
+
+def test_size_split_exact_for_in_window_rois():
+    """The R>=split_min_rois size-split (small-window kernel for the ~7/8
+    smallest-footprint rois) must be bit-equal to the unsplit full-window
+    run whenever every roi's footprint fits its assigned window — the window
+    origin shift cancels in the bilinear arithmetic. Forces the split with a
+    tiny split_min_rois; also checks the argsort order-restore."""
+    feats, boxes, bidx, lvl = _setup(R=40)
+    args = (feats, boxes, bidx, lvl, ("0", "1"), (0.25, 0.125), (7, 7))
+    full = rap.roi_align_pallas_multilevel(*args, sampling_ratio=2)
+    split = rap.roi_align_pallas_multilevel(
+        *args,
+        sampling_ratio=2,
+        x_window_small=32,
+        y_window_small=32,
+        split_min_rois=16,
+    )
+    assert split.shape == full.shape
+    np.testing.assert_array_equal(np.asarray(split), np.asarray(full))
+
+
+def test_size_split_oversize_overflow_stays_close():
+    """If more rois exceed the small window than the big-window quota (R/8),
+    the overflow rois run the small window with edge-clamped sampling: the
+    result must stay finite and within the same error envelope the clamp is
+    documented to have (compatibility.md aspect tables)."""
+    feats, _, _, _ = _setup(R=8)
+    rng = np.random.RandomState(3)
+    # all 8 rois are huge on level 0 (scale .25): footprint ~45px > 32 window
+    xy = rng.rand(8, 2) * 10
+    boxes = jnp.asarray(
+        np.concatenate([xy, xy + np.array([170.0, 110.0])], 1).astype(np.float32)
+    )
+    bidx = jnp.zeros((8,), jnp.int32)
+    lvl = jnp.zeros((8,), jnp.int32)
+    args = (feats, boxes, bidx, lvl, ("0", "1"), (0.25, 0.125), (7, 7))
+    ref = roi_align_multilevel(*args, sampling_ratio=2)
+    out = rap.roi_align_pallas_multilevel(
+        *args,
+        sampling_ratio=2,
+        x_window_small=32,
+        y_window_small=32,
+        split_min_rois=8,
+    )
+    assert np.isfinite(np.asarray(out)).all()
+    # the big-window quota (R/8 rounded to ROI_BLOCK=8) covers all 8 here,
+    # so this degenerates to the full window and must match exactly
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
