@@ -11,6 +11,15 @@ framework's padded per-detection outputs (or host Instances carrying
 ``pred_densepose``) to the visualizers; ``create_extractor`` pairs each
 visualizer with its extractor, and ``CompoundVisualizer`` /
 ``CompoundExtractor`` stack several per image (the apply_net CLI surface).
+
+Derivation note: pixel-level parity with the reference renderings is a goal,
+so the blend/resize/colormap pipelines intentionally compute the same pixels
+as the reference classes cited on each drawer (attribution, not clean-room).
+The structure differs where it can (foreground-select composition in
+MatrixVisualizer, shared region-tint in TextVisualizer, the vectorized
+marching-squares contour tracer replacing the reference's matplotlib
+per-cell loops); the tiny cv2 wrappers (Rectangle/Points) have essentially
+one possible body.
 """
 
 import json
@@ -82,23 +91,25 @@ class MatrixVisualizer:
         self.alpha = alpha
 
     def visualize(self, image_bgr, mask, matrix, bbox_xywh):
+        """Alpha-blend the colormapped ``matrix`` into the ``bbox_xywh``
+        region; pixels where ``mask`` is 0 keep the underlying image (they
+        blend with themselves, so only uint8 rounding can touch them). Same
+        output pixels as the reference's visualizer (vis/base.py:34-60); the
+        composition here is a foreground select + one blend rather than the
+        reference's scatter of background pixels into the heatmap."""
         import cv2
 
-        image_target_bgr = image_bgr if self.inplace else image_bgr * 0
-        x, y, w, h = [int(v) for v in bbox_xywh]
+        x, y, w, h = (int(v) for v in bbox_xywh)
         if w <= 0 or h <= 0:
             return image_bgr
-        mask = cv2.resize(mask, (w, h), interpolation=cv2.INTER_NEAREST)
-        matrix = cv2.resize(matrix, (w, h), interpolation=cv2.INTER_LINEAR)
-        mask_bg = np.tile((mask == 0)[:, :, None], [1, 1, 3])
-        matrix_scaled_8u = (matrix.astype(np.float32) * self.val_scale).clip(0, 255).astype(np.uint8)
-        matrix_vis = cv2.applyColorMap(matrix_scaled_8u, self.cmap)
-        matrix_vis[mask_bg] = image_target_bgr[y : y + h, x : x + w, :][mask_bg]
-        image_target_bgr[y : y + h, x : x + w, :] = (
-            image_target_bgr[y : y + h, x : x + w, :] * (1.0 - self.alpha)
-            + matrix_vis * self.alpha
-        )
-        return image_target_bgr.astype(np.uint8)
+        canvas = image_bgr if self.inplace else image_bgr * 0
+        roi = canvas[y : y + h, x : x + w, :]
+        fg = (cv2.resize(mask, (w, h), interpolation=cv2.INTER_NEAREST) > 0)[:, :, None]
+        vals = cv2.resize(matrix, (w, h), interpolation=cv2.INTER_LINEAR)
+        heat8 = (vals.astype(np.float32) * self.val_scale).clip(0, 255).astype(np.uint8)
+        overlay = np.where(fg, cv2.applyColorMap(heat8, self.cmap), roi)
+        roi[:] = roi * (1.0 - self.alpha) + overlay * self.alpha
+        return canvas.astype(np.uint8)
 
 
 class DensePoseResultsVisualizer:
@@ -343,24 +354,31 @@ class TextVisualizer:
         )
         return txt_w, txt_h
 
+    @staticmethod
+    def _tint_region(image_bgr, y0, y1, x0, x1, color_bgr, keep):
+        """Blend a solid color under a region: ``keep`` of the image plus
+        (1-keep) of the color. No-op at keep=1 (fully transparent tint)."""
+        if keep >= 1.0:
+            return
+        region = image_bgr[y0:y1, x0:x1, :]
+        image_bgr[y0:y1, x0:x1, :] = (
+            region * keep + np.array(color_bgr) * (1.0 - keep)
+        ).astype(float)
+
     def visualize(self, image_bgr, txt, topleft_xy):
         import cv2
 
         txt_w, txt_h = self.get_text_size_wh(txt)
         x, y = (int(v) for v in topleft_xy)
-        if self.frame_color_transparency < 1.0:
-            t = self.frame_thickness
-            region = image_bgr[y - t : y + txt_h + t, x - t : x + txt_w + t, :]
-            image_bgr[y - t : y + txt_h + t, x - t : x + txt_w + t, :] = (
-                region * self.frame_color_transparency
-                + np.array(self.frame_color_bgr) * (1.0 - self.frame_color_transparency)
-            ).astype(float)
-        if self.fill_color_transparency < 1.0:
-            region = image_bgr[y : y + txt_h, x : x + txt_w, :]
-            image_bgr[y : y + txt_h, x : x + txt_w, :] = (
-                region * self.fill_color_transparency
-                + np.array(self.fill_color_bgr) * (1.0 - self.fill_color_transparency)
-            ).astype(float)
+        t = self.frame_thickness
+        self._tint_region(
+            image_bgr, y - t, y + txt_h + t, x - t, x + txt_w + t,
+            self.frame_color_bgr, self.frame_color_transparency,
+        )
+        self._tint_region(
+            image_bgr, y, y + txt_h, x, x + txt_w,
+            self.fill_color_bgr, self.fill_color_transparency,
+        )
         cv2.putText(
             image_bgr,
             txt,
@@ -543,12 +561,12 @@ class DensePoseResultsContourVisualizer(DensePoseResultsVisualizer):
         else:
             self.levels = np.asarray(levels, np.float64)
         self.linewidths = kwargs.get("linewidths", [1] * len(self.levels))
+        # applyColorMap treats a 1-D input as a 1xN image: flatten to [N, 3]
+        # so every level gets its own color row
         img_colors_bgr = cv2.applyColorMap(
             (self.levels * 255).astype(np.uint8), cv2.COLORMAP_PARULA
-        )
-        self.level_colors_bgr = [
-            [int(v) for v in c.ravel()] for c in img_colors_bgr
-        ]
+        ).reshape(-1, 3)
+        self.level_colors_bgr = [[int(v) for v in c] for c in img_colors_bgr]
 
     def visualize_iuv_arr(self, context, iuv_arr, bbox_xywh):
         from detectron2_tpu.projects.densepose.structures import DensePoseDataRelative
@@ -727,8 +745,10 @@ class DensePoseDataPointsVisualizer:
                 image_bgr = self.points_visualizer.visualize(image_bgr, pts_xy)
             else:
                 v = self.densepose_data_to_value_fn(densepose_data)
-                img_colors_bgr = cv2.applyColorMap(v, self.cmap)
-                colors_bgr = [[int(c) for c in cb.ravel()] for cb in img_colors_bgr]
+                # applyColorMap treats a 1-D input as a 1xN image: flatten to
+                # [N, 3] so each point gets its own color
+                img_colors_bgr = cv2.applyColorMap(v, self.cmap).reshape(-1, 3)
+                colors_bgr = [[int(c) for c in cb] for cb in img_colors_bgr]
                 image_bgr = self.points_visualizer.visualize(image_bgr, pts_xy, colors_bgr)
         return image_bgr
 

@@ -52,6 +52,16 @@ def pytest_configure(config):
     )
 
 
+def pytest_itemcollected(item):
+    """Count every collected item BEFORE -m/-k deselection: this is the same
+    number `pytest --collect-only` reports, harvested for free so the
+    doc-count gate (tests/test_doc_counts.py) does not need a subprocess
+    re-collection. Incremented per item because deselection later removes
+    items from session.items."""
+    cfg = item.session.config
+    cfg._d2t_collected_total = getattr(cfg, "_d2t_collected_total", 0) + 1
+
+
 def pytest_collection_modifyitems(config, items):
     """Auto-mark the compile-heavy tiers: everything under tests/parity/ and
     tests/projects/, plus e2e/TTA/ViTDet model tests. The remaining fast

@@ -248,11 +248,11 @@ def _register_synth_dp_dataset(tmp_path, name):
 
     img_p = str(tmp_path / "im.png")
     cv2.imwrite(img_p, np.full((60, 90, 3), 90, np.uint8))
-    import pycocotools.mask as mask_util
+    from detectron2_tpu.evaluation.rle import mask_to_rle
 
     segm = np.zeros((256, 256), np.uint8)
     segm[40:200, 40:200] = 1
-    rle = mask_util.encode(np.asfortranarray(segm))
+    rle = mask_to_rle(segm)
     npts = 6
     ann = {
         "bbox": [10.0, 10.0, 40.0, 36.0],
