@@ -52,6 +52,12 @@ from detectron2_tpu.projects.densepose.dp_coco_eval import (
     GeodesicMeshTables,
     densepose_metric_names,
 )
+from detectron2_tpu.projects.densepose.tensor_storage import (
+    BlobRef,
+    BlobSpool,
+    LazyBlob,
+    build_densepose_evaluator_storage,
+)
 from detectron2_tpu.projects.densepose.evaluation import (
     DensePoseCOCOEvaluator,
     MeshAlignmentEvaluator,
@@ -247,6 +253,10 @@ __all__ = [
     "DensePoseCocoEvalEngine",
     "DensePoseEvalParams",
     "GeodesicMeshTables",
+    "BlobRef",
+    "BlobSpool",
+    "LazyBlob",
+    "build_densepose_evaluator_storage",
     "densepose_metric_names",
     "load_smpl_mesh_tables",
     "MeshDistanceProvider",

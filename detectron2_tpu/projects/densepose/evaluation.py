@@ -205,6 +205,7 @@ class DensePoseCOCOEvaluator(DatasetEvaluator):
         mode: str = "all",  # gps | gpsm | iou | all
         min_iou_threshold: float = 0.5,
         max_dets: int = 20,
+        storage=None,  # BlobSpool from build_densepose_evaluator_storage()
     ):
         from .dp_coco_eval import GeodesicMeshTables
 
@@ -219,6 +220,7 @@ class DensePoseCOCOEvaluator(DatasetEvaluator):
         self._mode = mode
         self._min_thr = float(min_iou_threshold)
         self._max_dets = int(max_dets)
+        self._storage = storage
         self._predictions: List[Dict] = []
         self._gts: Dict[int, List[Dict]] = {}
         self._image_sizes: Dict[int, tuple] = {}
@@ -252,7 +254,8 @@ class DensePoseCOCOEvaluator(DatasetEvaluator):
             rec = {
                 "image_id": out["image_id"],
                 "instances": [
-                    {**d, "densepose": self._to_quantized(d)} for d in out["instances"]
+                    {**d, "densepose": self._spooled(self._to_quantized(d))}
+                    for d in out["instances"]
                 ],
             }
             for src in (out, inp or {}):
@@ -260,6 +263,15 @@ class DensePoseCOCOEvaluator(DatasetEvaluator):
                     self._image_sizes[out["image_id"]] = (src["height"], src["width"])
                     break
             self._predictions.append(rec)
+
+    def _spooled(self, arr: np.ndarray):
+        """With a storage spool, keep only a BlobRef in the predictions list
+        (the array lives in the per-rank spool; rank 0 reads it back lazily
+        during evaluate) — the memory-bounding path the reference implements
+        with its tensor_storage (DENSEPOSE_EVALUATION.STORAGE)."""
+        if self._storage is None:
+            return arr
+        return self._storage.put(arr)
 
     @staticmethod
     def _to_quantized(dt: Dict) -> np.ndarray:
@@ -332,11 +344,20 @@ class DensePoseCOCOEvaluator(DatasetEvaluator):
         )
 
         comm.synchronize()
+        if self._storage is not None:
+            # collective: every rank contributes its spool before rank 0 reads
+            self._storage.finalize_for_read()
         preds = comm.gather(self._predictions)
         if not comm.is_main_process():
             return
         self._predictions = list(itertools.chain(*preds))
         gts, dts, image_sizes = self._assemble()
+        if self._storage is not None:
+            from .tensor_storage import BlobRef, LazyBlob
+
+            for d in dts:
+                if isinstance(d.get("densepose"), BlobRef):
+                    d["densepose"] = LazyBlob(self._storage, d["densepose"])
         if not gts:
             return OrderedDict({"densepose_gps": {"AP": float("nan")}})
 

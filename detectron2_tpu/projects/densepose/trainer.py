@@ -183,12 +183,17 @@ class Trainer(DefaultTrainer):
             # cfg.DENSEPOSE_EVALUATION.TYPE selects the reference's
             # match-quality mode (iou / gps / gpsm); "all" runs all three
             # sections like the reference evaluator does
+            from .tensor_storage import build_densepose_evaluator_storage
+
             evaluators.append(
                 DensePoseCOCOEvaluator(
                     dataset_name,
                     load_smpl_mesh_tables(),
                     mode=cfg.DENSEPOSE_EVALUATION.TYPE,
                     min_iou_threshold=cfg.DENSEPOSE_EVALUATION.MIN_IOU_THRESHOLD,
+                    storage=build_densepose_evaluator_storage(
+                        cfg.DENSEPOSE_EVALUATION.STORAGE, cfg.OUTPUT_DIR
+                    ),
                 )
             )
         return DatasetEvaluators(evaluators)
