@@ -146,30 +146,42 @@ class DensePoseBatchCollator(PaddedBatchCollator):
 
     def __call__(self, batch_list: List[dict]) -> Dict[str, Any]:
         out = super().__call__(batch_list)
-        if "instances" not in batch_list[0] or not hasattr(
-            batch_list[0]["instances"], "gt_dp_points"
-        ):
+        # field presence must be decided per SAMPLE, not from batch_list[0]:
+        # a bootstrap-mixed batch interleaves gt-mapper samples (which carry
+        # gt_dp_vertex/gt_dp_mesh_id even for chart data) with pseudo-label
+        # samples that may lack them — missing fields pad with the same
+        # sentinels the losses mask on (-1), keeping the batch shape static
+        # whatever the gt/pseudo draw is
+        with_pts = [
+            d["instances"]
+            for d in batch_list
+            if "instances" in d and hasattr(d["instances"], "gt_dp_points")
+        ]
+        if not with_pts:
             return out
         B = len(batch_list)
         G = self.max_gt_instances
-        P = batch_list[0]["instances"].gt_dp_points.shape[1]
+        P = max(inst.gt_dp_points.shape[1] for inst in with_pts)
         pts = np.zeros((B, G, P, 2), np.float32)
         part = np.full((B, G, P), -1, np.int64)
         u = np.zeros((B, G, P), np.float32)
         v = np.zeros((B, G, P), np.float32)
         vert = np.full((B, G, P), -1, np.int64)
         mesh_id = np.full((B, G), -1, np.int64)
-        has_cse = hasattr(batch_list[0]["instances"], "gt_dp_vertex")
+        has_cse = any(hasattr(inst, "gt_dp_vertex") for inst in with_pts)
         for i, d in enumerate(batch_list):
-            inst = d["instances"]
+            inst = d.get("instances")
+            if inst is None or not hasattr(inst, "gt_dp_points"):
+                continue
             g = min(len(inst), G)
             if g:
-                pts[i, :g] = inst.gt_dp_points[:g]
-                part[i, :g] = inst.gt_dp_part[:g]
-                u[i, :g] = inst.gt_dp_u[:g]
-                v[i, :g] = inst.gt_dp_v[:g]
-                if has_cse:
-                    vert[i, :g] = inst.gt_dp_vertex[:g]
+                p = inst.gt_dp_points.shape[1]
+                pts[i, :g, :p] = inst.gt_dp_points[:g]
+                part[i, :g, :p] = inst.gt_dp_part[:g]
+                u[i, :g, :p] = inst.gt_dp_u[:g]
+                v[i, :g, :p] = inst.gt_dp_v[:g]
+                if has_cse and hasattr(inst, "gt_dp_vertex"):
+                    vert[i, :g, :p] = inst.gt_dp_vertex[:g]
                     mesh_id[i, :g] = inst.gt_dp_mesh_id[:g]
         out["gt_dp_points"] = pts
         out["gt_dp_part"] = part
