@@ -45,7 +45,7 @@ from detectron2_tpu.modeling.roi_heads.mask_head import (
     mask_rcnn_loss,
 )
 from detectron2_tpu.modeling.sampling import subsample_labels_padded
-from detectron2_tpu.ops.roi_align import roi_align
+from detectron2_tpu.ops.roi_align import roi_align_separable
 from detectron2_tpu.structures.boxes import pairwise_iou
 from detectron2_tpu.utils.registry import Registry
 
@@ -153,15 +153,16 @@ def crop_gt_masks_to_proposals(
     py1 = (proposal_boxes[:, 3] - gy0) / gh * Ms
     boxes_in_mask = jnp.stack([px0, py0, px1, py1], axis=-1)
 
-    crops = roi_align(
-        gt_masks[..., None].astype(jnp.float32),
+    # separable-matmul RoIAlign: the gather formulation on [G, Ms, Ms, 1]
+    # cost ~26% of the whole train step (profile_breakdown, v5e batch 8)
+    crops = roi_align_separable(
+        gt_masks,
         boxes_in_mask,
-        matched_gt_idx.astype(jnp.int32),
+        matched_gt_idx,
         output_size=(mask_size, mask_size),
-        spatial_scale=1.0,
         sampling_ratio=2,
         aligned=True,
-    )[..., 0]
+    )
     return (crops >= 0.5).astype(jnp.float32)
 
 

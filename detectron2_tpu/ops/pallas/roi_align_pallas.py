@@ -200,7 +200,7 @@ def _make_kernel(ph, pw, s, XW, YH, C, num_levels, total_rois):
             dt = win_ref.dtype
             wx_d = wx.astype(dt)
             acc_ref[:] = jnp.zeros((ph * pw, C), jnp.float32)
-            for i in range([] if _SKIP_COMPUTE else range(n_rows)) if False else (range(0) if _SKIP_COMPUTE else range(n_rows)):
+            for i in range(0) if _SKIP_COMPUTE else range(n_rows):
                 yo = ints_ref[a, 2 + i]
                 # dynamic offset on the MAJOR dim only (cheap slice)
                 pair = win_ref[pl.ds(slot * YH + yo, 2)]  # [2, XW, C]

@@ -177,6 +177,83 @@ def _chunked_bilinear_pool(
     return out.astype(dtype)
 
 
+def roi_align_separable(
+    maps: jnp.ndarray,
+    boxes: jnp.ndarray,
+    src_indices: jnp.ndarray,
+    output_size,
+    sampling_ratio: int = 0,
+    aligned: bool = True,
+) -> jnp.ndarray:
+    """RoIAlign over a stack of small single-channel maps as two batched
+    matmuls instead of a point gather.
+
+    Bilinear interpolation is separable, so pooling roi ``r`` from
+    ``maps[src_indices[r]]`` is ``mean_pool_s(Wy[r] @ map @ Wx[r]^T)`` with
+    ``Wy [ph*s, Hm]`` / ``Wx [pw*s, Wm]`` holding the row/col sample weights
+    (relu(1-|y-m|) on clipped coords, zeroed outside the (-1, size) border —
+    exactly the neighbor weights of :func:`roi_align`). Same sample
+    coordinates, same border rule, same bin mean; only the summation order
+    differs (row-interp then col-interp), so results match :func:`roi_align`
+    to float rounding.
+
+    This is the right formulation for the mask-loss GT crop (per-proposal
+    28x28 crops of per-gt mask rasters): the gather formulation spends
+    ~26% of the whole Mask R-CNN train step in scalar-ish gathers over
+    [G, 28, 28, 1] tensors (profile_breakdown, v5e, batch 8), while these
+    einsums run on the MXU. There is no spatial_scale: ``boxes`` are already
+    in map pixel coordinates.
+
+    Args:
+        maps: [N, Hm, Wm] single-channel stack.
+        boxes: [R, 4] XYXY in map coordinates.
+        src_indices: [R] int — which map each roi samples.
+        output_size: (ph, pw).
+    Returns:
+        [R, ph, pw] pooled values (float32).
+    """
+    if isinstance(output_size, int):
+        output_size = (output_size, output_size)
+    ph, pw = output_size
+    s = int(sampling_ratio) if sampling_ratio > 0 else 2
+    N, Hm, Wm = maps.shape
+    R = boxes.shape[0]
+    boxes = boxes.astype(jnp.float32)
+
+    offset = 0.5 if aligned else 0.0
+    x0 = boxes[:, 0] - offset
+    y0 = boxes[:, 1] - offset
+    roi_w = boxes[:, 2] - boxes[:, 0]
+    roi_h = boxes[:, 3] - boxes[:, 1]
+    if not aligned:
+        roi_w = jnp.maximum(roi_w, 1.0)
+        roi_h = jnp.maximum(roi_h, 1.0)
+
+    def sample_coords(lo, extent, n_bins):
+        grid = (
+            jnp.arange(n_bins, dtype=jnp.float32)[None, :, None]
+            + ((jnp.arange(s, dtype=jnp.float32) + 0.5) / s)[None, None, :]
+        )
+        return (lo[:, None, None] + grid * (extent / n_bins)[:, None, None]).reshape(R, n_bins * s)
+
+    def weights(coords, size):
+        # [R, n, size] bilinear row/col weights with the gather kernel's
+        # border semantics: clip into [0, size-1], zero outside (-1, size)
+        inside = (coords >= -1.0) & (coords <= size)
+        c = jnp.clip(coords, 0.0, size - 1.0)
+        m = jnp.arange(size, dtype=jnp.float32)
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(c[..., None] - m))
+        return w * inside[..., None].astype(jnp.float32)
+
+    wy = weights(sample_coords(y0, roi_h, ph), Hm)  # [R, ph*s, Hm]
+    wx = weights(sample_coords(x0, roi_w, pw), Wm)  # [R, pw*s, Wm]
+
+    sel = maps.astype(jnp.float32)[src_indices.astype(jnp.int32)]  # [R, Hm, Wm]
+    rows = jnp.einsum("rym,rmx->ryx", wy, sel)  # [R, ph*s, Wm]
+    grid = jnp.einsum("ryx,rwx->ryw", rows, wx)  # [R, ph*s, pw*s]
+    return grid.reshape(R, ph, s, pw, s).mean(axis=(2, 4))
+
+
 def roi_align_multilevel(
     features: dict,
     boxes: jnp.ndarray,

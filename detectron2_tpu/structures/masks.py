@@ -144,7 +144,7 @@ class BitMasks:
         Returns:
             A bool array of shape (N, mask_size, mask_size).
         """
-        from detectron2_tpu.ops.roi_align import roi_align
+        from detectron2_tpu.ops.roi_align import roi_align_separable
 
         boxes_t = boxes.tensor if isinstance(boxes, Boxes) else boxes
         N = self.tensor.shape[0]
@@ -152,18 +152,17 @@ class BitMasks:
         if N == 0:
             return jnp.zeros((0, mask_size, mask_size), dtype=bool)
 
-        masks = jnp.asarray(self.tensor, dtype=jnp.float32)[:, :, :, None]  # [N,H,W,1]
-        batch_idx = jnp.arange(N, dtype=jnp.int32)
-        output = roi_align(
-            masks,
+        # separable-matmul RoIAlign (single-channel maps run on the MXU
+        # instead of the gather path; see ops.roi_align.roi_align_separable)
+        output = roi_align_separable(
+            jnp.asarray(self.tensor, jnp.float32),
             jnp.asarray(boxes_t, jnp.float32),
-            batch_idx,
+            jnp.arange(N, dtype=jnp.int32),
             output_size=(mask_size, mask_size),
-            spatial_scale=1.0,
             sampling_ratio=0,
             aligned=True,
-        )  # [N, mask_size, mask_size, 1]
-        return output[..., 0] >= 0.5
+        )  # [N, mask_size, mask_size]
+        return output >= 0.5
 
     def get_bounding_boxes(self) -> Boxes:
         """Returns the tight bounding boxes around bitmasks.

@@ -220,3 +220,79 @@ def test_windowed_transpose_adjoint_of_pallas_forward():
     )
     rhs = float(sum((feats[k] * d[k]).sum() for k in feats))
     np.testing.assert_allclose(lhs, rhs, rtol=1e-4)
+
+
+class TestRoiAlignSeparable:
+    """roi_align_separable (two batched matmuls over single-channel maps)
+    must match the gather formulation's values — same sample coordinates,
+    same border rule; only the interpolation summation order differs."""
+
+    def _compare(self, maps, boxes, idx, out_size, sampling_ratio):
+        from detectron2_tpu.ops.roi_align import roi_align, roi_align_separable
+
+        ref = roi_align(
+            jnp.asarray(maps)[..., None],
+            jnp.asarray(boxes),
+            jnp.asarray(idx, jnp.int32),
+            output_size=out_size,
+            spatial_scale=1.0,
+            sampling_ratio=sampling_ratio,
+            aligned=True,
+        )[..., 0]
+        out = roi_align_separable(
+            jnp.asarray(maps),
+            jnp.asarray(boxes),
+            jnp.asarray(idx, jnp.int32),
+            output_size=out_size,
+            sampling_ratio=sampling_ratio,
+            aligned=True,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    def test_matches_gather_formulation(self):
+        rng = np.random.RandomState(0)
+        N, Ms = 6, 28
+        maps = rng.rand(N, Ms, Ms).astype(np.float32)
+        R = 40
+        xy = rng.rand(R, 2) * 20
+        wh = rng.rand(R, 2) * 25 + 0.5
+        boxes = np.concatenate([xy, xy + wh], 1).astype(np.float32)
+        idx = rng.randint(0, N, R)
+        self._compare(maps, boxes, idx, (28, 28), 2)
+
+    def test_border_and_degenerate_boxes(self):
+        rng = np.random.RandomState(1)
+        maps = rng.rand(3, 16, 16).astype(np.float32)
+        boxes = np.array(
+            [
+                [-10.0, -10.0, 5.0, 5.0],  # partially outside (negative)
+                [10.0, 10.0, 30.0, 30.0],  # overflows the map
+                [4.0, 4.0, 4.0, 4.0],      # zero-size
+                [-30.0, -30.0, -20.0, -20.0],  # fully outside -> zeros
+                [0.0, 0.0, 16.0, 16.0],    # exact full map
+            ],
+            np.float32,
+        )
+        idx = np.array([0, 1, 2, 0, 1])
+        self._compare(maps, boxes, idx, (7, 7), 2)
+
+    def test_sampling_ratio_zero_default(self):
+        rng = np.random.RandomState(2)
+        maps = rng.rand(2, 28, 28).astype(np.float32)
+        boxes = np.array([[2.0, 3.0, 20.0, 25.0], [0.5, 0.5, 27.5, 27.5]], np.float32)
+        self._compare(maps, boxes, np.array([1, 0]), (14, 14), 0)
+
+    def test_gradients_flow_to_maps(self):
+        from detectron2_tpu.ops.roi_align import roi_align_separable
+
+        rng = np.random.RandomState(3)
+        maps = jnp.asarray(rng.rand(2, 12, 12).astype(np.float32))
+        boxes = jnp.asarray([[1.0, 1.0, 10.0, 10.0]], jnp.float32)
+
+        def f(m):
+            return roi_align_separable(m, boxes, jnp.zeros(1, jnp.int32), (7, 7), 2).sum()
+
+        g = jax.grad(f)(maps)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g[0]).sum()) > 0
+        assert float(jnp.abs(g[1]).sum()) == 0  # untouched map gets no grad

@@ -38,13 +38,18 @@ def build(config_path):
         cfg = model_zoo.get_config(config_path)
     except Exception:
         cfg = get_cfg()
+        if "DensePose" in config_path:
+            from detectron2_tpu.projects.densepose import add_densepose_config
+
+            add_densepose_config(cfg)
         cfg.merge_from_file(config_path)
     cfg.MODEL.WEIGHTS = ""
     model = build_model(cfg)
     return cfg, model, False
 
 
-def make_batch(B, H, W, train, num_classes, with_masks, with_keypoints, with_sem_seg, seed=0):
+def make_batch(B, H, W, train, num_classes, with_masks, with_keypoints, with_sem_seg, seed=0,
+               with_densepose=False):
     import jax.numpy as jnp
 
     rng = np.random.RandomState(seed)
@@ -72,6 +77,16 @@ def make_batch(B, H, W, train, num_classes, with_masks, with_keypoints, with_sem
             )
         if with_sem_seg:
             batch["gt_sem_seg"] = jnp.asarray(rng.randint(0, 54, (B, H, W)).astype(np.int32))
+        if with_densepose:
+            # chart targets: P annotated points per gt box (COCO-DensePose
+            # averages ~100 points/person; the loss cost scales with P)
+            P = 100
+            frac = rng.rand(B, G, P, 2).astype(np.float32)
+            pts = xy[..., None, :] + frac * wh[..., None, :]
+            batch["gt_dp_points"] = jnp.asarray(pts.astype(np.float32))
+            batch["gt_dp_part"] = jnp.asarray(rng.randint(1, 25, (B, G, P)).astype(np.int32))
+            batch["gt_dp_u"] = jnp.asarray(rng.rand(B, G, P).astype(np.float32))
+            batch["gt_dp_v"] = jnp.asarray(rng.rand(B, G, P).astype(np.float32))
     return batch
 
 
@@ -117,7 +132,11 @@ def main():
         with_keypoints = cfg.MODEL.KEYPOINT_ON
         with_sem_seg = cfg.MODEL.META_ARCHITECTURE in ("PanopticFPN", "SemanticSegmentor")
         compute_dtype = cfg.TPU.COMPUTE_DTYPE
-    batch = make_batch(B, H, W, args.train, num_classes, with_masks, with_keypoints, with_sem_seg)
+    with_densepose = (not is_lazy) and getattr(cfg.MODEL, "DENSEPOSE_ON", False)
+    batch = make_batch(
+        B, H, W, args.train, num_classes, with_masks, with_keypoints, with_sem_seg,
+        with_densepose=with_densepose,
+    )
 
     init_batch = jax.tree_util.tree_map(lambda x: x[:1], batch)
     params = model.init(
