@@ -119,6 +119,16 @@ def add_densepose_config(cfg):
     # attach raw coarse/fine/u/v predictor maps at inference (the bootstrap
     # pipeline's samplers consume these; costs [B, D, M, M, C] HBM readback)
     cfg.MODEL.ROI_DENSEPOSE_HEAD.RAW_OUTPUTS = False
+    # TPU-addition: the dp conv stack runs only on the top-K score-sorted
+    # detection slots at inference (the DensePose metric scores maxDets=20,
+    # so 24 is metric-lossless vs the 100 padded slots); 0 = every slot
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.MAX_INFERENCE_INSTANCES = 24
+    # TPU-addition (padded form of the reference DensePoseDataFilter): the dp
+    # branch trains only on up to this many slots with IoU>=FG_IOU_THRESHOLD
+    # against a dp-annotated gt; 0 = the generic 128-slot fg budget
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.MAX_TRAIN_INSTANCES = 32
+    # reference densepose/config.py:181
+    cfg.MODEL.ROI_DENSEPOSE_HEAD.FG_IOU_THRESHOLD = 0.7
     # loss family selector (reference config.py; dispatched by PREDICTOR_NAME
     # here — chart losses for chart predictors, CSE losses for embedding ones)
     cfg.MODEL.ROI_DENSEPOSE_HEAD.LOSS_NAME = "DensePoseChartWithConfidenceLoss"

@@ -90,6 +90,22 @@ class DensePoseROIHeads(StandardROIHeads):
     segm_trained_by_masks: bool = False
     # parity/debug escape hatch: attach the raw predictor maps at inference
     raw_outputs: bool = False
+    # inference head budget: the dp conv stack (8x512ch on 28x28 pooled maps,
+    # ~30 GFLOP per roi) runs only on the top-K score-sorted detection slots
+    # (fast_rcnn_inference_padded emits slots in descending score order, so
+    # slot slicing IS top-K). The DensePose protocol scores at most
+    # maxDets=20 detections per image, so the default 24 is metric-lossless
+    # while cutting the padded head cost ~4x vs DETECTIONS_PER_IMAGE=100.
+    # 0 = run on every slot.
+    max_inference_instances: int = 24
+    # train head budget: the reference's DensePoseDataFilter trains the dp
+    # branch ONLY on proposals with IoU >= FG_IOU_THRESHOLD against a
+    # dp-annotated gt (densepose/modeling/filter.py:13-95) — typically a
+    # handful per COCO-DensePose image. The padded equivalent selects up to
+    # this many qualifying slots (vs the generic 128-slot fg budget, which
+    # made the 8x512ch conv tower the whole train step). 0 = generic budget.
+    max_train_instances: int = 32
+    densepose_fg_iou_threshold: float = 0.7
 
     @classmethod
     def from_config(cls, cfg, input_shape):
@@ -181,6 +197,9 @@ class DensePoseROIHeads(StandardROIHeads):
             pix2shape_all_meshes=bool(p2s.USE_ALL_MESHES_NOT_GT_ONLY),
             segm_trained_by_masks=bool(getattr(h, "COARSE_SEGM_TRAINED_BY_MASKS", False)),
             raw_outputs=bool(getattr(h, "RAW_OUTPUTS", False)),
+            max_inference_instances=int(getattr(h, "MAX_INFERENCE_INSTANCES", 24)),
+            max_train_instances=int(getattr(h, "MAX_TRAIN_INSTANCES", 32)),
+            densepose_fg_iou_threshold=float(getattr(h, "FG_IOU_THRESHOLD", 0.7)),
         )
 
     # the densepose branch piggybacks on the mask hooks so the standard
@@ -221,11 +240,41 @@ class DensePoseROIHeads(StandardROIHeads):
         )
         return pooler(feats, boxes_flat, batch_idx)
 
+    def _densepose_train_mask(self, sampled, targets):
+        """Which sampled slots qualify for the dp branch: foreground, IoU
+        against the matched gt >= FG_IOU_THRESHOLD, and the gt actually
+        carries dp supervision (annotated points; or any valid gt when the
+        coarse segm trains on masks) — the reference DensePoseDataFilter's
+        rule, in padded form."""
+        from detectron2_tpu.structures.boxes import matched_pairwise_iou
+
+        gt_boxes = jnp.take_along_axis(
+            targets["gt_boxes"], sampled["gt_idx"][..., None], axis=1
+        )  # [B, S, 4]
+        iou = jax.vmap(matched_pairwise_iou)(gt_boxes, sampled["boxes"])  # [B, S]
+        has_pts = None  # [B, G]; chart batches carry parts, CSE may be vertex-only
+        if "gt_dp_part" in targets:
+            has_pts = (targets["gt_dp_part"] >= 0).any(-1)
+        if "gt_dp_vertex" in targets:
+            has_v = (targets["gt_dp_vertex"] >= 0).any(-1)
+            has_pts = has_v if has_pts is None else has_pts | has_v
+        if has_pts is None:
+            has_pts = jnp.ones(targets["gt_boxes"].shape[:2], bool)
+        if self.segm_trained_by_masks and "gt_valid" in targets:
+            has_pts = has_pts | targets["gt_valid"]
+        slot_has_pts = jnp.take_along_axis(has_pts, sampled["gt_idx"], axis=1)
+        return sampled["is_fg"] & (iou >= self.densepose_fg_iou_threshold) & slot_has_pts
+
     def _forward_densepose_train(self, feats, sampled, targets):
         B, S = sampled["gt_classes"].shape
-        Rf = self.fg_budget
+        if self.max_train_instances > 0:
+            Rf = min(self.max_train_instances, self.fg_budget)
+            dp_mask = self._densepose_train_mask(sampled, targets)
+        else:
+            Rf = self.fg_budget
+            dp_mask = sampled["is_fg"]
 
-        fg_idx, fg_valid = jax.vmap(lambda m: select_foreground_slots(m, Rf))(sampled["is_fg"])
+        fg_idx, fg_valid = jax.vmap(lambda m: select_foreground_slots(m, Rf))(dp_mask)
         fg_boxes = jnp.take_along_axis(sampled["boxes"], fg_idx[..., None], axis=1)
         fg_gt_idx = jnp.take_along_axis(sampled["gt_idx"], fg_idx, axis=1)
         boxes_flat = fg_boxes.reshape(-1, 4)
@@ -551,10 +600,19 @@ class DensePoseROIHeads(StandardROIHeads):
 
     def _forward_densepose_inference(self, feats, detections):
         B, D = detections["pred_classes"].shape
-        boxes_flat = detections["pred_boxes"].reshape(-1, 4)
-        batch_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), D)
+        # head budget: top-K slots only (slots arrive score-sorted); outputs
+        # for the remaining slots are zero (part 0 = background)
+        K = D if self.max_inference_instances <= 0 else min(D, self.max_inference_instances)
+        boxes_flat = detections["pred_boxes"][:, :K].reshape(-1, 4)
+        batch_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), K)
         pooled = self._densepose_pool(feats, boxes_flat, batch_idx, train=False)
         out = self.densepose_predictor(self.densepose_head(pooled, train=False), train=False)
+
+        def pad_slots(x):
+            """[B, K, ...] -> [B, D, ...] (zeros for the un-run slots)."""
+            if K == D:
+                return x
+            return jnp.pad(x, [(0, 0), (0, D - K)] + [(0, 0)] * (x.ndim - 2))
 
         if "embedding" in out:  # CSE predictor (embedder may be None, see from_config)
             if self.cse_embedder is not None and self.is_initializing():
@@ -571,16 +629,15 @@ class DensePoseROIHeads(StandardROIHeads):
             M = out["embedding"].shape[1]
             D_emb = out["embedding"].shape[-1]
             fg = jnp.argmax(out["coarse_segm"], axis=-1) > 0  # [R, M, M]
-            detections["pred_densepose_embedding"] = out["embedding"].reshape(
-                B, D, M, M, D_emb
+            detections["pred_densepose_embedding"] = pad_slots(
+                out["embedding"].reshape(B, K, M, M, D_emb)
             )
-            detections["pred_densepose_fg"] = fg.reshape(B, D, M, M)
+            detections["pred_densepose_fg"] = pad_slots(fg.reshape(B, K, M, M))
             return detections
 
         if self.raw_outputs:
-            B_, D_, M_ = B, D, out["fine_segm"].shape[1]
             detections["pred_densepose_raw"] = {
-                k: v.reshape((B_, D_) + v.shape[1:]) for k, v in out.items()
+                k: pad_slots(v.reshape((B, K) + v.shape[1:])) for k, v in out.items()
             }
 
         M = out["fine_segm"].shape[1]
@@ -590,7 +647,9 @@ class DensePoseROIHeads(StandardROIHeads):
         v = jnp.take_along_axis(out["v"], part[..., None], axis=-1)[..., 0]
         fg = jnp.argmax(out["coarse_segm"], axis=-1) > 0
         part = jnp.where(fg, part, 0)
-        detections["pred_densepose"] = jnp.stack(
-            [part.astype(jnp.float32), jnp.clip(u, 0, 1), jnp.clip(v, 0, 1)], axis=-1
-        ).reshape(B, D, M, M, 3)
+        detections["pred_densepose"] = pad_slots(
+            jnp.stack(
+                [part.astype(jnp.float32), jnp.clip(u, 0, 1), jnp.clip(v, 0, 1)], axis=-1
+            ).reshape(B, K, M, M, 3)
+        )
         return detections

@@ -386,3 +386,39 @@ def test_mesh_alignment_evaluator_synthetic():
     ge2, gps2, _ = ev2.evaluate()
     np.testing.assert_allclose(ge2, 0.3, atol=1e-6)
     np.testing.assert_allclose(gps2, float(np.exp(-0.09 / (2 * 0.255**2))), atol=1e-6)
+
+
+def test_densepose_inference_slot_cap():
+    """MAX_INFERENCE_INSTANCES: the dp head runs only on the top-K
+    score-sorted detection slots — outputs on those slots are identical to
+    the uncapped run, the rest are zero (background). K >= the metric's
+    maxDets=20, so the default cap is metric-lossless while cutting the
+    padded head cost ~4x."""
+    cfg_full = _cfg()
+    cfg_full.MODEL.ROI_DENSEPOSE_HEAD.MAX_INFERENCE_INSTANCES = 0  # every slot
+    cfg_cap = _cfg()
+    cfg_cap.MODEL.ROI_DENSEPOSE_HEAD.MAX_INFERENCE_INSTANCES = 3
+
+    model_full = build_model(cfg_full)
+    model_cap = build_model(cfg_cap)
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(rng.randint(0, 255, (1, 64, 64, 3)).astype(np.float32)),
+        "image_sizes": jnp.asarray([[64, 64]], jnp.int32),
+    }
+    variables = model_full.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)}, batch, train=False
+    )
+    det_full = model_full.apply(variables, batch, train=False)
+    det_cap = model_cap.apply(variables, batch, train=False)  # same params
+
+    full = np.asarray(det_full["pred_densepose"])
+    cap = np.asarray(det_cap["pred_densepose"])
+    assert full.shape == cap.shape  # [1, D, M, M, 3]
+    np.testing.assert_allclose(cap[:, :3], full[:, :3], rtol=1e-5, atol=1e-5)
+    assert (cap[:, 3:] == 0).all()
+    # detection fields themselves are untouched
+    np.testing.assert_array_equal(
+        np.asarray(det_full["pred_boxes"]), np.asarray(det_cap["pred_boxes"])
+    )

@@ -23,7 +23,7 @@ import time
 import numpy as np
 
 
-def build(config_path):
+def build(config_path, opts=()):
     if config_path.endswith(".py"):
         from detectron2_tpu.config import LazyConfig, instantiate
 
@@ -43,6 +43,9 @@ def build(config_path):
 
             add_densepose_config(cfg)
         cfg.merge_from_file(config_path)
+    if opts:
+        cfg.defrost()
+        cfg.merge_from_list(list(opts))
     cfg.MODEL.WEIGHTS = ""
     model = build_model(cfg)
     return cfg, model, False
@@ -79,7 +82,9 @@ def make_batch(B, H, W, train, num_classes, with_masks, with_keypoints, with_sem
             batch["gt_sem_seg"] = jnp.asarray(rng.randint(0, 54, (B, H, W)).astype(np.int32))
         if with_densepose:
             # chart targets: P annotated points per gt box (COCO-DensePose
-            # averages ~100 points/person; the loss cost scales with P)
+            # averages ~100 points/person; the loss cost scales with P).
+            # vertex/mesh ids ride along for the CSE family (ignored by the
+            # chart losses).
             P = 100
             frac = rng.rand(B, G, P, 2).astype(np.float32)
             pts = xy[..., None, :] + frac * wh[..., None, :]
@@ -87,6 +92,10 @@ def make_batch(B, H, W, train, num_classes, with_masks, with_keypoints, with_sem
             batch["gt_dp_part"] = jnp.asarray(rng.randint(1, 25, (B, G, P)).astype(np.int32))
             batch["gt_dp_u"] = jnp.asarray(rng.rand(B, G, P).astype(np.float32))
             batch["gt_dp_v"] = jnp.asarray(rng.rand(B, G, P).astype(np.float32))
+            batch["gt_dp_vertex"] = jnp.asarray(
+                rng.randint(0, 27554, (B, G, P)).astype(np.int64)
+            )
+            batch["gt_dp_mesh_id"] = jnp.asarray(np.zeros((B, G), np.int64))
     return batch
 
 
@@ -105,6 +114,9 @@ def main():
     ap.add_argument("--use-checkpoint", action="store_true",
                     help="enable backbone remat (lazy ViT configs) for train benches")
     ap.add_argument("--metric", default="", help="metric name override")
+    ap.add_argument("--opts", nargs="*", default=[],
+                    help="yacs KEY VALUE overrides applied after the config file "
+                    "(e.g. MODEL.ROI_DENSEPOSE_HEAD.CSE.EMBED_LOSS_NAME EmbeddingLoss)")
     args = ap.parse_args()
 
     import jax
@@ -119,7 +131,7 @@ def main():
         model = instantiate(cfg.model)
         is_lazy = True
     else:
-        cfg, model, is_lazy = build(args.config)
+        cfg, model, is_lazy = build(args.config, args.opts)
     H, W = (int(s) for s in args.hw.split(","))
     B = args.batch
 
