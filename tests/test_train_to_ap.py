@@ -120,12 +120,14 @@ def _overfit_cfg(out_dir: str):
     cfg.SOLVER.STEPS = (400,)
     cfg.SOLVER.CHECKPOINT_PERIOD = 10_000  # final checkpoint only
     cfg.TEST.EVAL_PERIOD = 0  # evaluate once, after the last iteration
-    # the metric gate (reference *_training_acc_test.yaml): near-overfit on
-    # 16 trivial images must land high; the window guards against a broken
-    # train->eval seam, not against noise in the last AP point
+    # the metric gate (reference *_training_acc_test.yaml gates +-1.0 on real
+    # COCO): band measured over 5 seeded runs of this loop on 2026-08-20 —
+    # bbox AP in [96.2, 97.9], segm AP in [85.6, 89.2] — gated at ~2x the
+    # observed spread so seed noise passes but a real train->eval regression
+    # (sampling, loss, NMS, paste, evaluator) fails
     cfg.TEST.EXPECTED_RESULTS = [
-        ["bbox", "AP", 75.0, 25.0],
-        ["segm", "AP", 70.0, 30.0],
+        ["bbox", "AP", 96.0, 6.0],
+        ["segm", "AP", 87.0, 8.0],
     ]
     cfg.OUTPUT_DIR = out_dir
     return cfg
@@ -160,9 +162,9 @@ def test_training_acc_synthetic_coco(tmp_path):
     bbox_ap, segm_ap = results["bbox"]["AP"], results["segm"]["AP"]
     assert np.isfinite(bbox_ap) and np.isfinite(segm_ap)
     # verify_results already gated these; keep explicit floors in the assert
-    # message for debuggability
-    assert bbox_ap >= 50.0, f"bbox AP {bbox_ap}"
-    assert segm_ap >= 40.0, f"segm AP {segm_ap}"
+    # message for debuggability (gate band: bbox 96+-6, segm 87+-8)
+    assert bbox_ap >= 90.0, f"bbox AP {bbox_ap}"
+    assert segm_ap >= 79.0, f"segm AP {segm_ap}"
 
 
 def test_training_acc_synthetic_keypoints(tmp_path):
