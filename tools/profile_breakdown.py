@@ -58,7 +58,9 @@ def run_and_trace(args):
             model = __import__(
                 "detectron2_tpu.modeling", fromlist=["build_model"]
             ).build_model(cfg)
-    batch = make_batch(B, H, W, args.train, num_classes, with_masks, with_keypoints, with_sem_seg)
+    with_densepose = (not is_lazy) and getattr(cfg.MODEL, "DENSEPOSE_ON", False)
+    batch = make_batch(B, H, W, args.train, num_classes, with_masks, with_keypoints, with_sem_seg,
+                       with_densepose=with_densepose)
 
     init_batch = jax.tree_util.tree_map(lambda x: x[:1], batch)
     params = model.init(
