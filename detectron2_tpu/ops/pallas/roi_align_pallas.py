@@ -64,7 +64,8 @@ def _channel_chunk(C: int, dtype, ph: int, pw: int, XW: int, YH: int) -> int:
 
 
 def _precompute(
-    boxes, batch_indices, level_assignments, hs, ws, ws_true, scales, ph, pw, s, XW, YH
+    boxes, batch_indices, level_assignments, hs, ws, ws_true, scales, ph, pw, s, XW, YH,
+    aligned=True,
 ):
     """XLA-side preparation of per-roi scalars and weights.
 
@@ -85,12 +86,18 @@ def _precompute(
     scale = scales[lvl]
 
     b = boxes.astype(jnp.float32)
-    x0 = b[:, 0] * scale - 0.5
-    y0 = b[:, 1] * scale - 0.5
-    x1 = b[:, 2] * scale - 0.5
-    y1 = b[:, 3] * scale - 0.5
-    bin_h = (y1 - y0) / ph
-    bin_w = (x1 - x0) / pw
+    off = 0.5 if aligned else 0.0
+    x0 = b[:, 0] * scale - off
+    y0 = b[:, 1] * scale - off
+    x1 = b[:, 2] * scale - off
+    y1 = b[:, 3] * scale - off
+    roi_h = y1 - y0
+    roi_w = x1 - x0
+    if not aligned:  # legacy ROIAlign (v1) clamps tiny rois to 1x1
+        roi_h = jnp.maximum(roi_h, 1.0)
+        roi_w = jnp.maximum(roi_w, 1.0)
+    bin_h = roi_h / ph
+    bin_w = roi_w / pw
 
     iy = (jnp.arange(ph * s, dtype=jnp.float32) + 0.5) / s
     ix = (jnp.arange(pw * s, dtype=jnp.float32) + 0.5) / s
@@ -233,7 +240,10 @@ def roi_align_pallas_multilevel(
     split_min_rois: int = 2048,
 ) -> jnp.ndarray:
     """Drop-in replacement for ops.roi_align.roi_align_multilevel (same
-    argument contract), running the Pallas kernel. aligned=True only.
+    argument contract), running the Pallas kernel. aligned=True gives the
+    ROIAlignV2 half-pixel grid; aligned=False the legacy ROIAlign (v1) grid
+    (no offset, rois clamped to >=1x1 feature px — torchvision parity, used
+    by the DensePose zoo configs).
 
     The kernel's HBM traffic is one [y_window, x_window, C] DMA per roi, so
     at production roi counts (16x1000 box-head pools) the op is DMA-bound.
@@ -248,7 +258,6 @@ def roi_align_pallas_multilevel(
     (the same approximation the full window applies beyond aspect 8, see
     docs/notes/compatibility.md). Measured on the box-head shape (16k rois,
     7x7, C=256, v5e): 31.9 ms full-window -> ~17 ms split."""
-    assert aligned, "the pallas kernel implements aligned=True semantics"
     R = boxes.shape[0]
     small_ok = (
         R >= split_min_rois
@@ -388,6 +397,7 @@ def roi_align_pallas_multilevel(
         s,
         XW,
         YH,
+        aligned=aligned,
     )
 
     NX = 1 + 3 * pw * s
@@ -520,6 +530,7 @@ def roi_align_pallas_backward(
     sampling_ratio: int = 0,
     x_window: int = 64,
     y_window: int = 48,
+    aligned: bool = True,
 ) -> dict:
     """Feature gradients of the Pallas RoIAlign forward.
 
@@ -565,6 +576,7 @@ def roi_align_pallas_backward(
                     sampling_ratio,
                     x_window,
                     y_window,
+                    aligned,
                 )
             )
         return {
@@ -605,6 +617,7 @@ def roi_align_pallas_backward(
         s,
         XW,
         YH,
+        aligned=aligned,
     )
 
     NX = 1 + 3 * pw * s

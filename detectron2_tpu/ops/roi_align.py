@@ -254,6 +254,94 @@ def roi_align_separable(
     return grid.reshape(R, ph, s, pw, s).mean(axis=(2, 4))
 
 
+def roi_align_separable_chan(
+    features: jnp.ndarray,
+    boxes: jnp.ndarray,
+    output_size,
+    spatial_scale: float = 1.0,
+    sampling_ratio: int = 0,
+    aligned: bool = True,
+) -> jnp.ndarray:
+    """Separable-matmul RoIAlign over a multi-channel map, K rois per image.
+
+    The big-footprint single-level pool: the DensePose head pools 28x28 crops
+    from the stride-4 decoder map (reference densepose/modeling/roi_heads/
+    roi_head.py:112-164), where person boxes span up to ~300 feature px —
+    far beyond the Pallas kernel's DMA window, and the XLA gather formulation
+    is the slow path the profile flagged. Bilinear interpolation is
+    separable, so each crop is two batched MXU einsums,
+    ``out = Wy_bin @ map @ Wx_bin^T``, with the s^2 bin mean FOLDED into the
+    weight matrices (mean of samples = sum with averaged weights — bit-exact
+    since interpolation is linear in the weights). Exact for every box size:
+    no window, no edge-clamp approximation.
+
+    Cost: 2*K*(ph*H*W + ph*pw*W)*C FLOPs per image — DensePose inference
+    (K=24, 28x28, 200x336x256 map) is ~26 GFLOP/im on the MXU vs a ~1.2M
+    point gather.
+
+    Args:
+        features: [B, H, W, C] map (single level).
+        boxes: [B, K, 4] XYXY in image coordinates (equal rois per image).
+        output_size: (ph, pw).
+        spatial_scale: 1/stride mapping image to map coords.
+        sampling_ratio: samples per bin side; 0 -> static 2.
+        aligned: half-pixel (V2) vs legacy v1 grid (no offset, >=1x1 clamp).
+
+    Returns:
+        [B, K, ph, pw, C] in features.dtype.
+    """
+    if isinstance(output_size, int):
+        output_size = (output_size, output_size)
+    ph, pw = output_size
+    s = int(sampling_ratio) if sampling_ratio > 0 else 2
+    B, H, W, C = features.shape
+    K = boxes.shape[1]
+    R = B * K
+    b = boxes.reshape(R, 4).astype(jnp.float32) * spatial_scale
+
+    offset = 0.5 if aligned else 0.0
+    x0 = b[:, 0] - offset
+    y0 = b[:, 1] - offset
+    roi_w = b[:, 2] - b[:, 0]
+    roi_h = b[:, 3] - b[:, 1]
+    if not aligned:
+        roi_w = jnp.maximum(roi_w, 1.0)
+        roi_h = jnp.maximum(roi_h, 1.0)
+
+    def sample_coords(lo, extent, n_bins):
+        grid = (
+            jnp.arange(n_bins, dtype=jnp.float32)[None, :, None]
+            + ((jnp.arange(s, dtype=jnp.float32) + 0.5) / s)[None, None, :]
+        )
+        return (lo[:, None, None] + grid * (extent / n_bins)[:, None, None]).reshape(
+            R, n_bins * s
+        )
+
+    def weights(coords, size, n_bins):
+        # [R, n_bins, size]: bilinear weights with the gather kernel's border
+        # rule (clip into [0, size-1], zero outside (-1, size)), bin-meaned
+        inside = (coords >= -1.0) & (coords <= size)
+        c = jnp.clip(coords, 0.0, size - 1.0)
+        m = jnp.arange(size, dtype=jnp.float32)
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(c[..., None] - m))
+        w = w * inside[..., None].astype(jnp.float32)
+        return w.reshape(R, n_bins, s, size).mean(axis=2)
+
+    wy = weights(sample_coords(y0, roi_h, ph), H, ph).reshape(B, K, ph, H)
+    wx = weights(sample_coords(x0, roi_w, pw), W, pw).reshape(B, K, pw, W)
+
+    dtype = features.dtype
+    wy = wy.astype(dtype)
+    wx = wx.astype(dtype)
+    rows = jnp.einsum(
+        "bkph,bhwc->bkpwc", wy, features, preferred_element_type=jnp.float32
+    )
+    out = jnp.einsum(
+        "bkqw,bkpwc->bkpqc", wx, rows.astype(dtype), preferred_element_type=jnp.float32
+    )
+    return out.astype(dtype)
+
+
 def roi_align_multilevel(
     features: dict,
     boxes: jnp.ndarray,
@@ -278,8 +366,7 @@ def roi_align_multilevel(
         import os
 
         use_pallas = (
-            aligned
-            and jax.default_backend() not in ("cpu",)
+            jax.default_backend() not in ("cpu",)
             and os.environ.get("D2T_DISABLE_PALLAS", "0") != "1"
         )
     import os as _os
@@ -288,7 +375,7 @@ def roi_align_multilevel(
         # measurement-only flag: kills the pooler backward to quantify its
         # cost in the train step (NOT valid for real training)
         features = jax.tree_util.tree_map(jax.lax.stop_gradient, features)
-    if use_pallas and aligned:
+    if use_pallas:
         return _roi_align_ml_hybrid(
             features,
             boxes,
@@ -298,6 +385,7 @@ def roi_align_multilevel(
             scales=tuple(scales),
             output_size=output_size if isinstance(output_size, tuple) else (output_size, output_size),
             sampling_ratio=sampling_ratio,
+            aligned=bool(aligned),
         )
     return _roi_align_multilevel_xla(
         features,
@@ -313,10 +401,11 @@ def roi_align_multilevel(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7)
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8)
 )
 def _roi_align_ml_hybrid(
-    features, boxes, batch_indices, level_assignments, level_order, scales, output_size, sampling_ratio
+    features, boxes, batch_indices, level_assignments, level_order, scales, output_size,
+    sampling_ratio, aligned=True,
 ):
     from detectron2_tpu.ops.pallas.roi_align_pallas import roi_align_pallas_multilevel
 
@@ -329,15 +418,17 @@ def _roi_align_ml_hybrid(
         scales,
         output_size,
         sampling_ratio=sampling_ratio,
-        aligned=True,
+        aligned=aligned,
     )
 
 
 def _roi_align_ml_hybrid_fwd(
-    features, boxes, batch_indices, level_assignments, level_order, scales, output_size, sampling_ratio
+    features, boxes, batch_indices, level_assignments, level_order, scales, output_size,
+    sampling_ratio, aligned=True,
 ):
     out = _roi_align_ml_hybrid(
-        features, boxes, batch_indices, level_assignments, level_order, scales, output_size, sampling_ratio
+        features, boxes, batch_indices, level_assignments, level_order, scales, output_size,
+        sampling_ratio, aligned,
     )
     return out, (features, boxes, batch_indices, level_assignments)
 
@@ -611,7 +702,7 @@ def _roi_align_ml_transpose_window(
     return out
 
 
-def _roi_align_ml_hybrid_bwd(level_order, scales, output_size, sampling_ratio, res, g):
+def _roi_align_ml_hybrid_bwd(level_order, scales, output_size, sampling_ratio, aligned, res, g):
     """Backward: Pallas read-modify-write window kernel on TPU, XLA vjp
     otherwise.
 
@@ -655,13 +746,15 @@ def _roi_align_ml_hybrid_bwd(level_order, scales, output_size, sampling_ratio, r
             scales,
             output_size,
             sampling_ratio,
+            aligned=aligned,
         )
         d_boxes = jnp.zeros_like(boxes)
         return d_features, d_boxes, _float0(batch_indices), _float0(level_assignments)
 
     _, vjp = jax.vjp(
         lambda f, b: _roi_align_multilevel_xla(
-            f, b, batch_indices, level_assignments, level_order, scales, output_size, sampling_ratio, True
+            f, b, batch_indices, level_assignments, level_order, scales, output_size,
+            sampling_ratio, aligned,
         ),
         features,
         boxes,

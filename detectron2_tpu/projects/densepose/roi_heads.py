@@ -228,13 +228,31 @@ class DensePoseROIHeads(StandardROIHeads):
         otherwise from the raw FPN levels. Uses the densepose pooler's own
         sampling ratio."""
         if self.decoder is not None:
-            feats = [self.decoder(feats, train=train)]
-            scales = (self.pooler_scales[0],)
-        else:
-            scales = self.pooler_scales
+            # single stride-4 decoder map: big-footprint pool (person boxes
+            # span up to ~300 feature px at stride 4) -> the exact separable
+            # MXU formulation; both call sites emit K contiguous rois per
+            # image (batch_idx = repeat(arange(B), K)), which is the layout
+            # roi_align_separable_chan batches over
+            from detectron2_tpu.ops.roi_align import roi_align_separable_chan
+
+            dec = self.decoder(feats, train=train)
+            B = dec.shape[0]
+            K = boxes_flat.shape[0] // B
+            res = self.densepose_pooler_resolution
+            if isinstance(res, int):
+                res = (res, res)
+            out = roi_align_separable_chan(
+                dec,
+                boxes_flat.reshape(B, K, 4),
+                res,
+                spatial_scale=self.pooler_scales[0],
+                sampling_ratio=self.densepose_pooler_sampling_ratio,
+                aligned=self.pooler_type == "ROIAlignV2",
+            )
+            return out.reshape(B * K, res[0], res[1], dec.shape[-1])
         pooler = ROIPooler(
             output_size=self.densepose_pooler_resolution,
-            scales=scales,
+            scales=self.pooler_scales,
             sampling_ratio=self.densepose_pooler_sampling_ratio,
             pooler_type=self.pooler_type,
         )

@@ -296,3 +296,67 @@ class TestRoiAlignSeparable:
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g[0]).sum()) > 0
         assert float(jnp.abs(g[1]).sum()) == 0  # untouched map gets no grad
+
+
+class TestRoiAlignSeparableChan:
+    """roi_align_separable_chan (the DensePose decoder pool: multi-channel
+    map, K rois per image, bin mean folded into the weight matrices) must
+    match the gather formulation for both grids — exact at any box size,
+    including boxes far beyond any DMA-window footprint."""
+
+    def _compare(self, feats, boxes_bk, out_size, scale, sr, aligned):
+        from detectron2_tpu.ops.roi_align import roi_align, roi_align_separable_chan
+
+        B, K = boxes_bk.shape[:2]
+        ref = roi_align(
+            jnp.asarray(feats),
+            jnp.asarray(boxes_bk.reshape(B * K, 4)),
+            jnp.repeat(jnp.arange(B, dtype=jnp.int32), K),
+            output_size=out_size,
+            spatial_scale=scale,
+            sampling_ratio=sr,
+            aligned=aligned,
+        )
+        out = roi_align_separable_chan(
+            jnp.asarray(feats),
+            jnp.asarray(boxes_bk),
+            out_size,
+            spatial_scale=scale,
+            sampling_ratio=sr,
+            aligned=aligned,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out).reshape(B * K, *out_size, -1),
+            np.asarray(ref),
+            rtol=1e-4,
+            atol=1e-4,
+        )
+
+    def test_matches_gather_both_grids(self):
+        rng = np.random.RandomState(0)
+        feats = rng.rand(2, 50, 84, 8).astype(np.float32)
+        # stride-4-style: boxes in image coords up to 4x map size, incl. a
+        # giant (full-image) box and a sub-pixel one (v1 clamp)
+        boxes = np.zeros((2, 5, 4), np.float32)
+        xy = rng.rand(2, 5, 2) * 150
+        wh = rng.rand(2, 5, 2) * 150 + 8
+        boxes[..., :2] = xy
+        boxes[..., 2:] = xy + wh
+        boxes[0, 0] = [0, 0, 336, 200]        # full image
+        boxes[1, 1] = [40.0, 40.0, 40.5, 40.2]  # sub-pixel
+        for aligned in (True, False):
+            self._compare(feats, boxes, (28, 28), 0.25, 2, aligned)
+
+    def test_gradients_flow(self):
+        from detectron2_tpu.ops.roi_align import roi_align_separable_chan
+
+        rng = np.random.RandomState(3)
+        feats = jnp.asarray(rng.rand(1, 20, 20, 4).astype(np.float32))
+        boxes = jnp.asarray([[[4.0, 4.0, 60.0, 60.0]]], jnp.float32)
+
+        def f(m):
+            return roi_align_separable_chan(m, boxes, (7, 7), 0.25, 2, False).sum()
+
+        g = jax.grad(f)(feats)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).sum()) > 0

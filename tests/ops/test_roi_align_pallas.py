@@ -241,3 +241,36 @@ def test_size_split_oversize_overflow_stays_close():
     denom = np.maximum(np.abs(ref).mean(axis=(1, 2, 3), keepdims=True), 1e-3)
     rel = np.abs(out - ref).mean(axis=(1, 2, 3), keepdims=True) / denom
     assert (rel < 0.15).all(), f"edge-clamped overflow error too large: {rel.ravel()}"
+
+
+def test_aligned_false_v1_matches_xla():
+    """aligned=False (legacy ROIAlign v1 — the grid every DensePose zoo
+    config pools with, reference Base-DensePose-RCNN-FPN.yaml POOLER_TYPE
+    "ROIAlign"): no half-pixel offset, rois clamped to >=1x1 feature px.
+    Includes a sub-pixel box to exercise the clamp."""
+    feats, boxes, bidx, lvl = _setup()
+    boxes = boxes.at[0].set(jnp.asarray([10.0, 10.0, 10.5, 10.2]))  # sub-1px roi
+    args = (feats, boxes, bidx, lvl, ("0", "1"), (0.25, 0.125), (7, 7))
+    ref = roi_align_multilevel(*args, sampling_ratio=2, aligned=False, use_pallas=False)
+    out = rap.roi_align_pallas_multilevel(*args, sampling_ratio=2, aligned=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+    # sanity: the flag actually switches grids
+    out_v2 = rap.roi_align_pallas_multilevel(*args, sampling_ratio=2, aligned=True)
+    assert not np.allclose(np.asarray(out), np.asarray(out_v2), atol=1e-3)
+
+
+def test_aligned_false_densepose_pool_shape():
+    """The DensePose head pool: 28x28, sampling_ratio 2, single stride-4
+    level, aligned=False. Boxes sized to fit the DMA window at stride 4."""
+    rng = np.random.RandomState(3)
+    C = 32
+    feats = {"0": jnp.asarray(rng.rand(2, 64, 88, C).astype(np.float32))}
+    xy = rng.rand(12, 2) * 120
+    wh = rng.rand(12, 2) * 120 + 16
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], 1).astype(np.float32))
+    bidx = jnp.asarray(rng.randint(0, 2, 12), jnp.int32)
+    lvl = jnp.zeros((12,), jnp.int32)
+    args = (feats, boxes, bidx, lvl, ("0",), (0.25,), (28, 28))
+    ref = roi_align_multilevel(*args, sampling_ratio=2, aligned=False, use_pallas=False)
+    out = rap.roi_align_pallas_multilevel(*args, sampling_ratio=2, aligned=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)

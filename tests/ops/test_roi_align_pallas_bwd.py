@@ -99,3 +99,29 @@ def test_bwd_zero_grad_gives_zero():
     )
     for name in level_order:
         assert float(jnp.abs(grads[name]).max()) == 0.0
+
+
+def test_bwd_aligned_false_matches_vjp():
+    """aligned=False backward (v1 grid, DensePose poolers) vs jax.vjp of the
+    XLA forward with the same flag — exact adjoint within window coverage."""
+    from detectron2_tpu.ops.pallas.roi_align_pallas import roi_align_pallas_backward
+    from detectron2_tpu.ops.roi_align import _roi_align_multilevel_xla
+
+    features, boxes, batch_idx, levels, level_order, scales = _setup(R=16)
+    rng = np.random.RandomState(2)
+    g = jnp.asarray(rng.standard_normal((16, 7, 7, 16)).astype(np.float32))
+
+    ours = roi_align_pallas_backward(
+        g, features, boxes, batch_idx, levels, level_order, scales, 7, 2, aligned=False
+    )
+    _, vjp = jax.vjp(
+        lambda f: _roi_align_multilevel_xla(
+            f, boxes, batch_idx, levels, level_order, scales, (7, 7), 2, False
+        ),
+        features,
+    )
+    (ref,) = vjp(g)
+    for n in level_order:
+        np.testing.assert_allclose(
+            np.asarray(ours[n]), np.asarray(ref[n]), rtol=1e-4, atol=1e-4
+        )
